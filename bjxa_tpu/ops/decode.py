@@ -1,0 +1,243 @@
+"""Jitted XA decode pipelines.
+
+Three device pipelines over the shared lane-vectorized filter
+(:mod:`bjxa_tpu.ops.filter`):
+
+* :func:`decode_arrays` — one file, lanes = channels.  The honest
+  sequential-over-blocks scan; correctness baseline.
+* :func:`decode_arrays_fixpoint` — one file, lanes = channels x chunks.
+  Exact intra-file parallelism: the block range is split into K chunks that
+  all decode in parallel from guessed boundary predictor states, iterated to
+  a fixed point.  Because chunk 0 is anchored at the true header state and
+  each iteration propagates exact end states one chunk forward, the fixed
+  point is reached in at most K iterations and is *bit-exact*; typical audio
+  converges in 2-4 iterations because the filter poles lie inside the unit
+  circle (SURVEY §2.5, §7 "hard parts").
+* :func:`decode_batch` — many equal-shape channel streams, lanes = N x C.
+  The corpus/throughput path.
+
+Hosts call the ``decode_bytes`` convenience which picks a pipeline, checks
+profile validity (EPROTO taxonomy) and trims the padded tail.
+
+Reference semantic anchors: block loop ``src/libbjxa.c:602-661``; stereo
+blocks are channel-major within an effective block and PCM is interleaved at
+stride ``channels``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from bjxa_tpu.errors import BjxaProtocolError
+from bjxa_tpu.format.xa import XAFormat
+from bjxa_tpu.ops.inflate import inflate_blocks
+from bjxa_tpu.ops.filter import decode_lanes
+from bjxa_tpu.ops.tables import BLOCK_SAMPLES
+
+
+# --------------------------------------------------------------------------
+# single file, sequential over blocks (lanes = channels)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def decode_arrays(blocks: jnp.ndarray, state: jnp.ndarray, *, bits: int):
+    """Decode one file's blocks; lanes are its channels.
+
+    Args:
+      blocks: ``uint8[C, B, block_size]`` raw XA blocks per channel.
+      state:  ``int32[C, 2]`` initial predictor state (header befL/befR).
+
+    Returns ``(pcm int16[B*32, C], end_state int32[C, 2], valid bool[B, C])``.
+    """
+    profiles, samples = inflate_blocks(blocks, bits)  # [C,B], [C,B,32]
+    profiles = profiles.transpose(1, 0)  # [B, C]
+    samples = samples.transpose(1, 2, 0)  # [B, 32, C]
+    pcm, end_state, valid = decode_lanes(profiles, samples, state)
+    frames = pcm.reshape(-1, pcm.shape[-1])  # [B*32, C]
+    return frames, end_state, valid
+
+
+# --------------------------------------------------------------------------
+# single file, chunk-parallel fixed point (lanes = chunks x channels)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("bits", "num_chunks"))
+def decode_arrays_fixpoint(
+    blocks: jnp.ndarray,
+    state: jnp.ndarray,
+    *,
+    bits: int,
+    num_chunks: int,
+):
+    """Exact chunk-parallel decode of one file via fixed-point iteration.
+
+    Args:
+      blocks: ``uint8[C, B, block_size]``; B need not divide num_chunks.
+      state:  ``int32[C, 2]``.
+
+    Returns ``(pcm int16[B*32, C], end_state int32[C, 2], valid bool[B, C],
+    iterations int32)``.
+    """
+    C, B, S = blocks.shape
+    K = num_chunks
+    Bc = -(-B // K)  # blocks per chunk, ceil
+    pad = K * Bc - B
+
+    profiles, samples = inflate_blocks(blocks, bits)  # [C,B], [C,B,32]
+    # Pad the tail with valid dummy blocks (profile 0, samples 0).
+    profiles = jnp.pad(profiles, ((0, 0), (0, pad)))
+    samples = jnp.pad(samples, ((0, 0), (0, pad), (0, 0)))
+
+    # Lane layout: lane l = k * C + c  (chunk-major, channel-minor).
+    # [C, K*Bc] -> [C, K, Bc] -> [Bc, K, C] -> [Bc, K*C]
+    prof_l = profiles.reshape(C, K, Bc).transpose(2, 1, 0).reshape(Bc, K * C)
+    samp_l = (
+        samples.reshape(C, K, Bc, BLOCK_SAMPLES)
+        .transpose(2, 3, 1, 0)
+        .reshape(Bc, BLOCK_SAMPLES, K * C)
+    )
+
+    anchor = state.astype(jnp.int32)  # [C, 2] — true state of chunk 0
+
+    def propagate(states):  # states: [K, C, 2] guessed chunk input states
+        _, end, _ = decode_lanes(
+            prof_l, samp_l, states.reshape(K * C, 2), with_output=False
+        )
+        end = end.reshape(K, C, 2)
+        return jnp.concatenate([anchor[None], end[:-1]], axis=0)
+
+    def cond(carry):
+        states, prev, it = carry
+        return jnp.logical_and(it < K, jnp.any(states != prev))
+
+    def body(carry):
+        states, _, it = carry
+        return propagate(states), states, it + 1
+
+    init = jnp.zeros((K, C, 2), jnp.int32).at[0].set(anchor)
+    first = propagate(init)
+    states, _, iters = lax.while_loop(cond, body, (first, init, jnp.int32(1)))
+
+    # Final full pass with outputs from the converged (exact) states.
+    pcm_l, _end_l, valid_l = decode_lanes(
+        prof_l, samp_l, states.reshape(K * C, 2)
+    )
+    # [Bc, 32, K*C] -> [K, Bc, 32, C] -> [K*Bc*32, C], trim padding tail.
+    frames = (
+        pcm_l.reshape(Bc, BLOCK_SAMPLES, K, C)
+        .transpose(2, 0, 1, 3)
+        .reshape(K * Bc * BLOCK_SAMPLES, C)[: B * BLOCK_SAMPLES]
+    )
+    valid = (
+        valid_l.reshape(Bc, K, C).transpose(1, 0, 2).reshape(K * Bc, C)[:B]
+    )
+    # The stream's end state is the predictor state after the last *real*
+    # block; padded dummy blocks would have dragged the lane state to zero,
+    # so read it off the decoded samples instead (state == last two samples).
+    last = B * BLOCK_SAMPLES
+    end_state = jnp.stack(
+        [frames[last - 1], frames[last - 2]], axis=-1
+    ).astype(jnp.int32)
+    return frames, end_state, valid, iters
+
+
+# --------------------------------------------------------------------------
+# many equal-shape channel streams (lanes = N x C)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def decode_batch(blocks: jnp.ndarray, state: jnp.ndarray, *, bits: int):
+    """Decode a batch of equal-shape files; lanes = files x channels.
+
+    Args:
+      blocks: ``uint8[N, C, B, block_size]``.
+      state:  ``int32[N, C, 2]``.
+
+    Returns ``(pcm int16[N, B*32, C], end_state int32[N, C, 2],
+    valid bool[B, N, C])``.
+    """
+    N, C, B, S = blocks.shape
+    profiles, samples = inflate_blocks(blocks, bits)  # [N,C,B], [N,C,B,32]
+    prof_l = profiles.transpose(2, 0, 1).reshape(B, N * C)
+    samp_l = samples.transpose(2, 3, 0, 1).reshape(B, BLOCK_SAMPLES, N * C)
+    pcm, end_state, valid = decode_lanes(
+        prof_l, samp_l, state.reshape(N * C, 2)
+    )
+    frames = (
+        pcm.reshape(B, BLOCK_SAMPLES, N, C)
+        .transpose(2, 0, 1, 3)
+        .reshape(N, B * BLOCK_SAMPLES, C)
+    )
+    return frames, end_state.reshape(N, C, 2), valid.reshape(B, N, C)
+
+
+# --------------------------------------------------------------------------
+# host-facing conveniences
+# --------------------------------------------------------------------------
+
+
+def blocks_from_bytes(data: bytes | memoryview, fmt: XAFormat) -> np.ndarray:
+    """Slice an XA payload into ``uint8[C, B, block_size]`` (channel-major).
+
+    Stereo files store the left-channel block before the right-channel block
+    inside each effective block (``src/libbjxa.c:633-646``).
+    """
+    need = fmt.blocks * fmt.block_size_xa
+    raw = np.frombuffer(data, dtype=np.uint8, count=need)
+    return np.ascontiguousarray(
+        raw.reshape(fmt.blocks, fmt.channels, fmt.block_size).transpose(
+            1, 0, 2
+        )
+    )
+
+
+def check_valid(valid: np.ndarray, channels: int) -> None:
+    """Raise the EPROTO-equivalent naming the first bad block, if any.
+
+    ``valid``: ``bool[B, C]`` in stream order (channel-minor).
+    """
+    v = np.asarray(valid)
+    if v.all():
+        return
+    flat = v.reshape(v.shape[0] * channels)
+    idx = int(np.argmin(flat))
+    raise BjxaProtocolError(
+        f"invalid block profile factor in block {idx // channels}"
+        f" channel {idx % channels}"
+    )
+
+
+def decode_bytes(
+    payload: bytes | memoryview,
+    fmt: XAFormat,
+    *,
+    parallel: bool = True,
+    min_chunk_blocks: int = 64,
+    max_chunks: int = 512,
+) -> np.ndarray:
+    """Decode one XA payload to interleaved PCM ``int16[samples, C]``.
+
+    Chooses the chunk-parallel fixed-point pipeline for long streams and the
+    plain scan for short ones.  Raises BjxaProtocolError on an invalid
+    profile factor anywhere in the stream.
+    """
+    blocks = blocks_from_bytes(payload, fmt)
+    state = fmt.initial_state_array()
+    B = fmt.blocks
+    num_chunks = min(max_chunks, max(1, B // min_chunk_blocks))
+    if parallel and num_chunks > 1:
+        frames, _end, valid, _it = decode_arrays_fixpoint(
+            blocks, state, bits=fmt.bits, num_chunks=num_chunks
+        )
+    else:
+        frames, _end, valid = decode_arrays(blocks, state, bits=fmt.bits)
+    check_valid(np.asarray(valid), fmt.channels)
+    return np.asarray(frames[: fmt.samples])
