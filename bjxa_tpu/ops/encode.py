@@ -1,0 +1,130 @@
+"""Jitted XA encode pipelines.
+
+Two encoders:
+
+* :func:`encode_truncate` — byte-compatible with the reference encoder,
+  which performs *no* prediction: profile byte 0, keep the top ``bits`` of
+  every sample (``src/libbjxa.c:665-691``, "Encoding is partially
+  implemented", ``bjxa.1.rst:55``).
+* :func:`encode_search` — what the reference leaves on the table: a greedy
+  per-block exhaustive sweep of all 80 filter profiles (5 factors x 16
+  ranges), each candidate running the *real* decoder recurrence
+  (prediction, truncating division, int16 saturation) so carried state is
+  exact; the minimum-reconstruction-error candidate wins.  Blocks stay
+  sequential (state feedback), but the 80 candidates, the channels and any
+  number of batched lanes evaluate in parallel on the VPU — the encoder
+  analog of the decoder's lane vectorization (SURVEY §2.5).
+
+Quantization for a candidate with range ``r``: the decoder computes
+``clamp(d >> r + pred)`` where ``d`` holds ``bits`` significant top bits,
+``d = q << (16-bits)``.  The best ``q`` for target difference ``diff`` is
+``round(diff / 2^(16-bits-r))`` (or ``diff << (r-16+bits)`` when the range
+exceeds the quantization headroom), clamped to the signed ``bits``-bit
+domain.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from bjxa_tpu.ops.filter import trunc_div_256
+from bjxa_tpu.ops.tables import (
+    BLOCK_SAMPLES,
+    GAIN_K0,
+    GAIN_K1,
+    INT16_MAX,
+    INT16_MIN,
+    NUM_FACTORS,
+    NUM_RANGES,
+)
+
+NUM_CANDIDATES = NUM_FACTORS * NUM_RANGES  # 80
+
+
+def _candidate_tables():
+    """Static per-candidate tables: factor, range, gains, shift splits."""
+    factor = np.repeat(np.arange(NUM_FACTORS), NUM_RANGES)
+    rng = np.tile(np.arange(NUM_RANGES), NUM_FACTORS)
+    return factor, rng
+
+
+def encode_truncate(pcm: jnp.ndarray):
+    """Reference-compatible encode: profile 0, samples passed through.
+
+    ``pcm``: int-like ``[B, 32, L]`` (zero-padded final block).
+    Returns ``(profiles int32[B, L], coded int32[B, 32, L])`` where
+    ``coded`` feeds :func:`bjxa_tpu.ops.deflate.pack_payload` (which keeps
+    the top bits, exactly like the reference's deflate callbacks).
+    """
+    profiles = jnp.zeros(pcm.shape[::2], jnp.int32)
+    return profiles, pcm.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def encode_search(pcm: jnp.ndarray, state: jnp.ndarray, *, bits: int):
+    """Greedy exhaustive profile-search encode.
+
+    Args:
+      pcm:   ``int32[B, 32, L]`` target samples (zero-padded final block).
+      state: ``int32[L, 2]`` initial predictor state (zeros for a fresh
+        stream, since the emitted header carries zero seeds).
+
+    Returns ``(profiles int32[B, L], coded int32[B, 32, L],
+    recon int16[B, 32, L], end_state int32[L, 2])``; ``recon`` is the exact
+    signal a conforming decoder will produce.
+    """
+    B, _, L = pcm.shape
+    shq = 16 - bits
+    factor_np, range_np = _candidate_tables()
+    k0 = jnp.asarray(GAIN_K0[factor_np], jnp.int32)[:, None]  # [80,1]
+    k1 = jnp.asarray(GAIN_K1[factor_np], jnp.int32)[:, None]
+    rr = jnp.asarray(range_np, jnp.int32)[:, None]
+    s_down = jnp.maximum(shq - rr, 0)  # quantize: arithmetic shift down
+    s_up = jnp.maximum(rr - shq, 0)  # or scale up when range > headroom
+    bias = (jnp.int32(1) << s_down) >> 1
+    use_down = rr <= shq
+    qmin = -(1 << (bits - 1))
+    qmax = (1 << (bits - 1)) - 1
+    prof_cand = jnp.asarray(
+        (factor_np << 4) | range_np, jnp.int32
+    )  # [80]
+
+    def step(carry, x_blk):  # x_blk: int32[32, L]
+        p0, p1 = carry  # [L]
+        p0c = jnp.broadcast_to(p0, (NUM_CANDIDATES, L))
+        p1c = jnp.broadcast_to(p1, (NUM_CANDIDATES, L))
+        err = jnp.zeros((NUM_CANDIDATES, L), jnp.float32)
+        ds = []
+        recs = []
+        for n in range(BLOCK_SAMPLES):
+            pred = trunc_div_256(p0c * k0 + p1c * k1)
+            diff = x_blk[n][None, :] - pred
+            q = jnp.where(use_down, (diff + bias) >> s_down, diff << s_up)
+            q = jnp.clip(q, qmin, qmax)
+            d = q << shq
+            recon = jnp.clip((d >> rr) + pred, INT16_MIN, INT16_MAX)
+            e = (x_blk[n][None, :] - recon).astype(jnp.float32)
+            err = err + e * e
+            ds.append(d)
+            recs.append(recon)
+            p1c = p0c
+            p0c = recon
+        best = jnp.argmin(err, axis=0)  # [L]
+        d_all = jnp.stack(ds)  # [32, 80, L]
+        r_all = jnp.stack(recs)
+        lane = jnp.arange(L)
+        d_sel = d_all[:, best, lane]  # [32, L]
+        r_sel = r_all[:, best, lane]
+        new_p0 = p0c[best, lane]
+        new_p1 = p1c[best, lane]
+        return (new_p0, new_p1), (prof_cand[best], d_sel, r_sel)
+
+    init = (state[:, 0], state[:, 1])
+    (p0, p1), (profiles, coded, recon) = lax.scan(step, init, pcm)
+    end_state = jnp.stack([p0, p1], axis=-1)
+    return profiles, coded, recon.astype(jnp.int16), end_state
