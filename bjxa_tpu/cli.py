@@ -1,0 +1,269 @@
+"""The ``bjxa`` command-line tool, TPU edition.
+
+Same surface as the reference CLI (``src/bjxa.c:36-52``): ``help``,
+``decode [<xa> [<wav>]]``, ``encode [--bits <4|6|8>] [<wav> [<xa>]]``, with
+``-`` or omitted filenames meaning stdin/stdout.  Error labels keep the
+reference's perror style (``<failing stage>: <strerror>``) so scripted
+callers and the ported test-suite greps keep working.
+
+Extensions over the reference:
+
+* ``encode --truncate`` reproduces the reference's truncation-only encoder
+  byte-for-byte; the default runs the full filter-profile search (better
+  SNR at identical bitrate).
+* ``decode --streaming`` exercises the incremental block-at-a-time codec
+  instead of the whole-file device pipeline (both produce identical bytes;
+  the reference proves the same property with its BJXA_SINGLE_PASS builds).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from bjxa_tpu.errors import BjxaError, BjxaProtocolError
+from bjxa_tpu.format import (
+    XA_HEADER_SIZE,
+    dump_pcm,
+    dump_riff_header,
+    load_pcm,
+    parse_riff_header,
+    parse_xa_header,
+)
+from bjxa_tpu.format.riff import RIFF_HEADER_SIZE
+
+USAGE = """Usage: {prog} <action> [args...]
+
+Available actions:
+
+  help
+    Show this message and exit.
+
+  decode [--streaming] [<xa file> [<wav file>]]
+    Read an XA file and convert it into a WAV file.
+
+  encode [--bits <4|6|8>] [--truncate] [wav file> [<xa file>]]
+    Read a WAV file and convert it into an XA file.
+    The default number of bits per sample, when left
+    unspecified is 6. --truncate disables the filter
+    profile search (reference-compatible output).
+"""
+
+
+def _usage(prog: str, file) -> None:
+    file.write(USAGE.format(prog=prog))
+
+
+def _fail(prog: str, msg: str) -> int:
+    sys.stderr.write(f"bjxa: {msg}\n")
+    _usage(prog, sys.stderr)
+    return 1
+
+
+def _perror(label: str, exc: BjxaError | OSError) -> None:
+    err = getattr(exc, "errno", None) or 0
+    text = os.strerror(err) if err else str(exc)
+    sys.stderr.write(f"{label}: {text}\n")
+
+
+def _open_input(path: str | None):
+    if path is None or path == "-":
+        return sys.stdin.buffer, False
+    return open(path, "rb"), True
+
+
+def _open_output(path: str | None):
+    if path is None or path == "-":
+        return sys.stdout.buffer, False
+    return open(path, "wb"), True
+
+
+def _cmd_decode(args: list[str], prog: str) -> int:
+    streaming = False
+    if args and args[0] == "--streaming":
+        streaming = True
+        args = args[1:]
+    if len(args) > 2:
+        return _fail(prog, "Too many arguments")
+
+    try:
+        fin, close_in = _open_input(args[0] if len(args) > 0 else None)
+    except OSError as e:
+        _perror("Error", e)
+        return 1
+    try:
+        fout, close_out = _open_output(args[1] if len(args) > 1 else None)
+    except OSError as e:
+        _perror("Error", e)
+        return 1
+
+    try:
+        return _decode_stream(fin, fout, streaming)
+    finally:
+        if close_in:
+            fin.close()
+        if close_out:
+            fout.close()
+
+
+def _decode_stream(fin, fout, streaming: bool) -> int:
+    header = fin.read(XA_HEADER_SIZE)
+    if header is None or len(header) < XA_HEADER_SIZE:
+        sys.stderr.write("bjxa_fread_header: Input/output error\n")
+        return 1
+    try:
+        fmt = parse_xa_header(header)
+    except BjxaError as e:
+        _perror("bjxa_fread_header", e)
+        return 1
+
+    fout.write(dump_riff_header(fmt.data_len_pcm, fmt.samples_rate, fmt.channels))
+
+    if streaming:
+        from bjxa_tpu.codec import Decoder
+
+        dec = Decoder()
+        dec.parse_header(header)
+        left = fmt.blocks
+        while left > 0:
+            raw = fin.read(fmt.block_size_xa)
+            if raw is None or len(raw) < fmt.block_size_xa:
+                sys.stderr.write("fread: End of file\n")
+                return 1
+            try:
+                pcm = dec.decode(raw)
+            except BjxaError as e:
+                _perror("bjxa_decode", e)
+                return 1
+            fout.write(dump_pcm(pcm))
+            left -= 1
+        return 0
+
+    payload = fin.read(fmt.data_len)
+    if payload is None or len(payload) < fmt.data_len:
+        sys.stderr.write("fread: End of file\n")
+        return 1
+
+    from bjxa_tpu.ops.decode import blocks_from_bytes, decode_bytes
+
+    try:
+        pcm = decode_bytes(payload, fmt)
+    except BjxaProtocolError as e:
+        # emit the valid prefix, as the reference's block loop does, then
+        # report the failure (src/bjxa_decode.c:122-137)
+        prefix = _decode_valid_prefix(payload, fmt)
+        if prefix is not None and prefix.size:
+            fout.write(dump_pcm(prefix))
+        _perror("bjxa_decode", e)
+        return 1
+    fout.write(dump_pcm(pcm))
+    return 0
+
+
+def _decode_valid_prefix(payload, fmt):
+    """Frames of the effective blocks preceding the first invalid profile."""
+    from bjxa_tpu.ops.decode import blocks_from_bytes, decode_arrays
+
+    blocks = blocks_from_bytes(payload, fmt)
+    frames, _end, valid = decode_arrays(
+        blocks, fmt.initial_state_array(), bits=fmt.bits
+    )
+    v = np.asarray(valid).all(axis=1)
+    good = int(np.argmin(v)) if not v.all() else len(v)
+    frames = np.asarray(frames[: good * 32])
+    limit = fmt.data_len_pcm // (2 * fmt.channels)
+    return frames[: min(len(frames), limit)]
+
+
+def _cmd_encode(args: list[str], prog: str) -> int:
+    bits = 6
+    search = True
+    while args and args[0].startswith("--"):
+        if args[0] == "--bits":
+            args = args[1:]
+            if not args:
+                return _fail(prog, "Missing number of bits per sample")
+            val = args[0]
+            bits = ord(val) - ord("0") if len(val) == 1 else -1
+            if bits not in (4, 6, 8):
+                return _fail(prog, "Invalid number of bits per sample")
+            args = args[1:]
+        elif args[0] == "--truncate":
+            search = False
+            args = args[1:]
+        else:
+            break
+    if len(args) > 2:
+        return _fail(prog, "Too many arguments")
+
+    try:
+        fin, close_in = _open_input(args[0] if len(args) > 0 else None)
+    except OSError as e:
+        _perror("Error", e)
+        return 1
+    try:
+        fout, close_out = _open_output(args[1] if len(args) > 1 else None)
+    except OSError as e:
+        _perror("Error", e)
+        return 1
+
+    try:
+        return _encode_stream(fin, fout, bits, search)
+    finally:
+        if close_in:
+            fin.close()
+        if close_out:
+            fout.close()
+
+
+def _encode_stream(fin, fout, bits: int, search: bool) -> int:
+    header = fin.read(RIFF_HEADER_SIZE)
+    if header is None or len(header) < RIFF_HEADER_SIZE:
+        sys.stderr.write("bjxa_fread_riff_header: Input/output error\n")
+        return 1
+    try:
+        rf = parse_riff_header(header)
+    except BjxaError as e:
+        _perror("bjxa_fread_riff_header", e)
+        return 1
+
+    body = fin.read(rf.data_len_pcm)
+    if body is None or len(body) < rf.data_len_pcm:
+        sys.stderr.write("fread: End of file\n")
+        return 1
+
+    from bjxa_tpu.api import encode_pcm
+
+    try:
+        xa = encode_pcm(
+            load_pcm(body, rf.channels), rf.samples_rate, bits, search=search
+        )
+    except BjxaError as e:
+        _perror("bjxa_encode", e)
+        return 1
+    fout.write(xa)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv if argv is None else argv)
+    prog = argv[0] if argv else "bjxa"
+    args = argv[1:]
+
+    if not args:
+        return _fail(prog, "Missing an action")
+    action, rest = args[0], args[1:]
+    if action == "help":
+        _usage(prog, sys.stdout)
+        return 0
+    if action == "decode":
+        return _cmd_decode(rest, prog)
+    if action == "encode":
+        return _cmd_encode(rest, prog)
+    return _fail(prog, "Unknown action")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

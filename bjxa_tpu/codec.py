@@ -1,0 +1,392 @@
+"""Stateful streaming codec objects — the incremental API.
+
+Python-idiomatic equivalents of the reference's opaque
+``bjxa_decoder_t``/``bjxa_encoder_t`` objects and their re-entrant
+block-at-a-time contract (``src/libbjxa.c:602-661, 759-819``):
+
+* a header may be (re)parsed at any time; parsing is transactional, so a
+  failed reparse leaves prior state intact (``bjxa.3.rst.in:126-129``);
+* ``decode``/``encode`` process as many whole blocks as the given buffers
+  allow, mutate internal progress (``blocks``/``data_len_pcm`` count down)
+  and size the final partial block correctly;
+* decoding past the last block raises the EPROTO-equivalent;
+* using a codec before header/init raises the EINVAL-equivalent.
+
+The per-block work runs through the exact numpy path (the filter state is
+two ints per channel; dispatching a TPU program per 32-sample block would
+be all launch latency) — the device pipelines in :mod:`bjxa_tpu.ops` are
+the whole-file/corpus fast path, exactly like the reference's
+``BJXA_SINGLE_PASS`` dual-mode CLI proves both modes equivalent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import BinaryIO
+
+import numpy as np
+
+from bjxa_tpu.errors import (
+    BjxaBadFileError,
+    BjxaBufferError,
+    BjxaFault,
+    BjxaInvalidState,
+    BjxaIOError,
+)
+from bjxa_tpu.format.pcm import dump_pcm, load_pcm
+from bjxa_tpu.format.riff import RiffFormat, dump_riff_header, parse_riff_header
+from bjxa_tpu.format.xa import (
+    BLOCK_SAMPLES,
+    XA_HEADER_SIZE,
+    XAFormat,
+    dump_xa_header,
+    parse_xa_header,
+)
+from bjxa_tpu.format.riff import RIFF_HEADER_SIZE
+from bjxa_tpu.ops import numpy_ref
+
+
+@dataclasses.dataclass
+class FormatInfo:
+    """Mutable conversion-progress snapshot (the ``bjxa_format_t`` analog).
+
+    ``blocks`` and ``data_len_pcm`` count *remaining* work and are
+    decremented by ``decode``/``encode`` (reference ChangeLog 0.4 /
+    ``src/libbjxa.c:654-657``).
+    """
+
+    data_len_pcm: int
+    blocks: int
+    block_size_pcm: int
+    block_size_xa: int
+    samples_rate: int
+    sample_bits: int
+    channels: int
+
+
+def _file_writable(f) -> bool:
+    try:
+        return f.writable()
+    except Exception:
+        return False
+
+
+def _file_readable(f) -> bool:
+    try:
+        return f.readable()
+    except Exception:
+        return False
+
+
+class Decoder:
+    """Streaming XA decoder with the reference's incremental contract."""
+
+    def __init__(self):
+        self._fmt: XAFormat | None = None
+        self._state: np.ndarray | None = None
+        self._blocks_left = 0
+        self._pcm_left = 0
+        self._closed = False
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def close(self) -> None:
+        """Invalidate the object (the ``bjxa_free_decoder`` analog)."""
+        self._check_open()
+        self._closed = True
+        self._fmt = None
+        self._state = None
+
+    def _check_open(self):
+        if self._closed:
+            raise BjxaInvalidState("decoder used after close")
+
+    def _check_ready(self):
+        self._check_open()
+        if self._fmt is None:
+            raise BjxaInvalidState("decoder has no parsed header")
+
+    # -- header ------------------------------------------------------------
+
+    def parse_header(self, buf: bytes | memoryview) -> int:
+        """Parse a 32-byte XA header; transactional. Returns bytes consumed."""
+        self._check_open()
+        fmt = parse_xa_header(buf)  # raises without touching our state
+        self._fmt = fmt
+        self._state = fmt.initial_state_array()
+        self._blocks_left = fmt.blocks
+        self._pcm_left = fmt.data_len_pcm
+        return XA_HEADER_SIZE
+
+    def read_header(self, file: BinaryIO) -> int:
+        """Read+parse the header from a binary stream."""
+        self._check_open()
+        if file is None:
+            raise BjxaFault("read_header: no input file")
+        data = file.read(XA_HEADER_SIZE)
+        if data is None or len(data) < XA_HEADER_SIZE:
+            raise BjxaIOError("read_header: short read")
+        return self.parse_header(data)
+
+    # -- format / progress -------------------------------------------------
+
+    def format(self) -> FormatInfo:
+        """Snapshot the output format and remaining progress."""
+        self._check_ready()
+        fmt = self._fmt
+        return FormatInfo(
+            data_len_pcm=self._pcm_left,
+            blocks=self._blocks_left,
+            block_size_pcm=fmt.block_size_pcm,
+            block_size_xa=fmt.block_size_xa,
+            samples_rate=fmt.samples_rate,
+            sample_bits=16,
+            channels=fmt.channels,
+        )
+
+    @property
+    def xa_format(self) -> XAFormat:
+        self._check_ready()
+        return self._fmt
+
+    # -- decoding ----------------------------------------------------------
+
+    def decode(self, src: bytes | memoryview, max_blocks: int | None = None):
+        """Decode whole blocks from ``src``.
+
+        Returns interleaved ``int16[frames, channels]`` for as many
+        effective blocks as ``src`` holds (bounded by ``max_blocks`` and
+        remaining stream length); the final block yields only the frames
+        the header promises.  Raises BjxaProtocolError if the stream is
+        already exhausted or a profile factor is invalid, BjxaBufferError
+        if ``src`` holds less than one block.
+        """
+        self._check_ready()
+        if src is None:
+            raise BjxaFault("decode: no source buffer")
+        fmt = self._fmt
+        if self._blocks_left <= 0:
+            from bjxa_tpu.errors import BjxaProtocolError
+
+            raise BjxaProtocolError("decode: stream exhausted")
+        if len(src) < fmt.block_size_xa:
+            raise BjxaBufferError("decode: need at least one whole XA block")
+
+        n = min(len(src) // fmt.block_size_xa, self._blocks_left)
+        if max_blocks is not None:
+            n = min(n, max_blocks)
+        raw = np.frombuffer(src, np.uint8, count=n * fmt.block_size_xa)
+        blocks = raw.reshape(n, fmt.channels, fmt.block_size)
+
+        out = np.empty((n, BLOCK_SAMPLES, fmt.channels), np.int16)
+        state = self._state
+        emitted = 0
+        for i in range(n):
+            # channel-sequential, like src/libbjxa.c:633-646: a failure in
+            # the right channel must leave the left channel state advanced.
+            for c in range(fmt.channels):
+                profile = int(blocks[i, c, 0])
+                unpacked = numpy_ref.unpack_blocks(blocks[i, c, 1:], fmt.bits)
+                out[i, :, c] = numpy_ref.filter_block(
+                    unpacked, profile, state[c]
+                )
+            frames = min(BLOCK_SAMPLES, self._pcm_left // (2 * fmt.channels))
+            self._pcm_left -= frames * 2 * fmt.channels
+            self._blocks_left -= 1
+            emitted += frames
+        return out.reshape(-1, fmt.channels)[:emitted]
+
+    # -- output ------------------------------------------------------------
+
+    def dump_riff_header(self) -> bytes:
+        self._check_ready()
+        fmt = self._fmt
+        return dump_riff_header(
+            fmt.data_len_pcm, fmt.samples_rate, fmt.channels
+        )
+
+    def write_riff_header(self, file: BinaryIO) -> int:
+        self._check_ready()
+        if file is None:
+            raise BjxaFault("write_riff_header: no output file")
+        if not _file_writable(file):
+            raise BjxaBadFileError("write_riff_header: unwritable file")
+        file.write(self.dump_riff_header())
+        return RIFF_HEADER_SIZE
+
+    @staticmethod
+    def write_pcm(samples: np.ndarray, file: BinaryIO) -> None:
+        if file is None:
+            raise BjxaFault("write_pcm: no output file")
+        if not _file_writable(file):
+            raise BjxaBadFileError("write_pcm: unwritable file")
+        file.write(dump_pcm(samples))
+
+
+class Encoder:
+    """Streaming XA encoder (truncation or profile-search mode)."""
+
+    def __init__(self):
+        self._fmt: XAFormat | None = None
+        self._state: np.ndarray | None = None
+        self._blocks_left = 0
+        self._pcm_left = 0
+        self._closed = False
+
+    def close(self) -> None:
+        self._check_open()
+        self._closed = True
+        self._fmt = None
+
+    def _check_open(self):
+        if self._closed:
+            raise BjxaInvalidState("encoder used after close")
+
+    def _check_ready(self):
+        self._check_open()
+        if self._fmt is None:
+            raise BjxaInvalidState("encoder not initialized")
+
+    # -- init --------------------------------------------------------------
+
+    def init(self, rf: RiffFormat, bits: int) -> None:
+        """Initialize from a parsed WAVE format (``bjxa_encode_init``)."""
+        self._check_open()
+        if rf is None:
+            raise BjxaFault("init: no source format")
+        if bits not in (4, 6, 8):
+            raise BjxaInvalidState(f"init: invalid bit depth {bits}")
+        rf.validate()
+        samples = rf.samples
+        if samples <= 0:
+            from bjxa_tpu.errors import BjxaProtocolError
+
+            raise BjxaProtocolError("init: empty stream")
+        nblocks = -(-samples // BLOCK_SAMPLES)
+        block_size = bits * 4 + 1
+        fmt = XAFormat(
+            data_len=nblocks * block_size * rf.channels,
+            samples=samples,
+            samples_rate=rf.samples_rate,
+            bits=bits,
+            channels=rf.channels,
+            initial_state=((0, 0), (0, 0)),
+        ).validate()
+        self._fmt = fmt
+        self._state = np.zeros((rf.channels, 2), np.int32)
+        self._blocks_left = fmt.blocks
+        self._pcm_left = fmt.data_len_pcm
+
+    def read_riff_header(self, file: BinaryIO, bits: int) -> int:
+        self._check_open()
+        if file is None:
+            raise BjxaFault("read_riff_header: no input file")
+        data = file.read(RIFF_HEADER_SIZE)
+        if data is None or len(data) < RIFF_HEADER_SIZE:
+            raise BjxaIOError("read_riff_header: short read")
+        self.init(parse_riff_header(data), bits)
+        return RIFF_HEADER_SIZE
+
+    # -- format / progress -------------------------------------------------
+
+    def format(self) -> FormatInfo:
+        self._check_ready()
+        fmt = self._fmt
+        return FormatInfo(
+            data_len_pcm=self._pcm_left,
+            blocks=self._blocks_left,
+            block_size_pcm=fmt.block_size_pcm,
+            block_size_xa=fmt.block_size_xa,
+            samples_rate=fmt.samples_rate,
+            sample_bits=fmt.bits,
+            channels=fmt.channels,
+        )
+
+    @property
+    def xa_format(self) -> XAFormat:
+        self._check_ready()
+        return self._fmt
+
+    # -- encoding ----------------------------------------------------------
+
+    def dump_header(self) -> bytes:
+        self._check_ready()
+        return dump_xa_header(self._fmt)
+
+    def write_header(self, file: BinaryIO) -> int:
+        self._check_ready()
+        if file is None:
+            raise BjxaFault("write_header: no output file")
+        if not _file_writable(file):
+            raise BjxaBadFileError("write_header: unwritable file")
+        file.write(self.dump_header())
+        return XA_HEADER_SIZE
+
+    def encode(
+        self, pcm: bytes | memoryview | np.ndarray, *, search: bool = False
+    ) -> bytes:
+        """Encode whole blocks of interleaved PCM; returns XA block bytes.
+
+        ``pcm`` may be raw little-endian int16 bytes or an
+        ``int16[frames, channels]`` array.  The final (short) block is
+        zero-padded exactly like the reference (``src/libbjxa.c:686-690``).
+        """
+        self._check_ready()
+        if pcm is None:
+            raise BjxaFault("encode: no source buffer")
+        from bjxa_tpu.errors import BjxaProtocolError
+
+        fmt = self._fmt
+        if self._blocks_left <= 0:
+            raise BjxaProtocolError("encode: stream exhausted")
+        if isinstance(pcm, np.ndarray):
+            frames = np.asarray(pcm, np.int16).reshape(-1, fmt.channels)
+        else:
+            frames = load_pcm(pcm, fmt.channels)
+
+        frame_bytes = 2 * fmt.channels
+        if frames.shape[0] * frame_bytes < min(
+            fmt.block_size_pcm, self._pcm_left
+        ):
+            raise BjxaBufferError("encode: need at least one whole block")
+
+        out = bytearray()
+        pos = 0
+        while self._blocks_left > 0:
+            want = min(fmt.block_size_pcm, self._pcm_left) // frame_bytes
+            if frames.shape[0] - pos < want or want == 0:
+                break
+            chunk = frames[pos : pos + want]
+            pos += want
+            block = np.zeros((BLOCK_SAMPLES, fmt.channels), np.int16)
+            block[:want] = chunk
+            if search:
+                out += self._encode_block_search(block)
+            else:
+                for c in range(fmt.channels):
+                    prof, payload = numpy_ref.encode_truncate_block(
+                        block[:, c], fmt.bits
+                    )
+                    out.append(prof)
+                    out += payload.tobytes()
+            self._pcm_left -= want * frame_bytes
+            self._blocks_left -= 1
+        return bytes(out)
+
+    def _encode_block_search(self, block: np.ndarray) -> bytes:
+        """One-block profile search through the device kernel."""
+        import jax.numpy as jnp
+
+        from bjxa_tpu.ops.deflate import deflate_blocks
+        from bjxa_tpu.ops.encode import encode_search
+
+        fmt = self._fmt
+        lanes = block.astype(np.int32).reshape(1, BLOCK_SAMPLES, fmt.channels)
+        profiles, coded, _recon, end = encode_search(
+            jnp.asarray(lanes), jnp.asarray(self._state), bits=fmt.bits
+        )
+        self._state = np.asarray(end)
+        blocks = deflate_blocks(
+            profiles, coded.transpose(0, 2, 1), fmt.bits
+        )
+        return np.asarray(blocks).tobytes()

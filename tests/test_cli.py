@@ -1,0 +1,246 @@
+"""CLI tests — the ``test_bjxa.sh`` port plus CLI-level decode error paths
+(``test_decode_error.sh``), run in-process for speed with the same
+stdin/stdout/- conventions the reference checks.
+"""
+
+import hashlib
+import io
+import sys
+
+import pytest
+
+from bjxa_tpu import cli
+from bjxa_tpu.format.hexdsl import hex_to_bytes
+
+STEREO8_WAV_SHA1 = "4b10d39db9abfb75bb3561d7a789ca5afb046c75"
+
+
+def run_cli(args, stdin: bytes = b"", monkeypatch=None):
+    """Invoke cli.main with captured binary stdio; returns (code, out, err)."""
+    out_buf = io.BytesIO()
+    err = io.StringIO()
+
+    class In:
+        buffer = io.BytesIO(stdin)
+
+    class Out:
+        buffer = out_buf
+
+        @staticmethod
+        def write(s):
+            pass
+
+    old = sys.stdin, sys.stdout, sys.stderr
+    sys.stdin, sys.stderr = In(), err
+    real_stdout = sys.stdout
+    sys.stdout = Out()
+    # `help` writes text to sys.stdout directly
+    sys.stdout.write = lambda s: out_buf.write(s.encode())
+    try:
+        code = cli.main(["bjxa"] + args)
+    finally:
+        sys.stdin, sys.stdout, sys.stderr = old
+    return code, out_buf.getvalue(), err.getvalue()
+
+
+def sha1(b):
+    return hashlib.sha1(b).hexdigest()
+
+
+# -- actions ----------------------------------------------------------------
+
+
+def test_help():
+    code, out, err = run_cli(["help"])
+    assert code == 0
+    assert b"Usage:" in out
+
+
+def test_no_action():
+    code, out, err = run_cli([])
+    assert code == 1
+    assert "Missing an action" in err
+
+
+def test_unknown_action():
+    code, out, err = run_cli(["unknown"])
+    assert code == 1
+    assert "Unknown action" in err
+
+
+# -- decode argument conventions -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def stereo8(fixture_dir_module):
+    return (fixture_dir_module / "square-stereo-8.xa").read_bytes()
+
+
+@pytest.fixture(scope="module")
+def fixture_dir_module():
+    import pathlib, os
+
+    d = pathlib.Path(
+        os.environ.get("BJXA_REFERENCE_DIR", "/root/reference")
+    ) / "test"
+    if not d.is_dir():
+        pytest.skip("reference fixture corpus not available")
+    return d
+
+
+def test_decode_stdin_stdout(stereo8):
+    code, out, err = run_cli(["decode"], stdin=stereo8)
+    assert code == 0
+    assert sha1(out) == STEREO8_WAV_SHA1
+
+
+def test_decode_file_arg(stereo8, fixture_dir_module):
+    code, out, err = run_cli(
+        ["decode", str(fixture_dir_module / "square-stereo-8.xa")]
+    )
+    assert code == 0
+    assert sha1(out) == STEREO8_WAV_SHA1
+
+
+def test_decode_dash_args(stereo8, fixture_dir_module):
+    code, out, err = run_cli(
+        ["decode", str(fixture_dir_module / "square-stereo-8.xa"), "-"]
+    )
+    assert code == 0 and sha1(out) == STEREO8_WAV_SHA1
+    code, out, err = run_cli(["decode", "-", "-"], stdin=stereo8)
+    assert code == 0 and sha1(out) == STEREO8_WAV_SHA1
+
+
+def test_decode_to_file(stereo8, tmp_path):
+    dst = tmp_path / "out.wav"
+    code, out, err = run_cli(["decode", "-", str(dst)], stdin=stereo8)
+    assert code == 0
+    assert sha1(dst.read_bytes()) == STEREO8_WAV_SHA1
+
+
+def test_decode_streaming_mode(stereo8):
+    code, out, err = run_cli(["decode", "--streaming"], stdin=stereo8)
+    assert code == 0
+    assert sha1(out) == STEREO8_WAV_SHA1
+
+
+def test_decode_too_many_args():
+    code, out, err = run_cli(["decode", "a", "b", "c"])
+    assert code == 1
+    assert "Too many arguments" in err
+
+
+def test_decode_nonexistent_input(tmp_path):
+    code, out, err = run_cli(["decode", str(tmp_path / "nope.xa")])
+    assert code == 1
+    assert "Error" in err
+
+
+def test_decode_unwritable_output(stereo8, tmp_path):
+    code, out, err = run_cli(
+        ["decode", "-", str(tmp_path / "no/dir/out.wav")], stdin=stereo8
+    )
+    assert code == 1
+    assert "Error" in err
+
+
+# -- encode argument conventions -------------------------------------------
+
+
+def test_encode_too_many_args():
+    for args in (
+        ["encode", "a", "b", "c"],
+        ["encode", "--bits", "4", "a", "b", "c"],
+    ):
+        code, out, err = run_cli(args)
+        assert code == 1
+        assert "Too many arguments" in err
+
+
+def test_encode_missing_bits():
+    code, out, err = run_cli(["encode", "--bits"])
+    assert code == 1
+    assert "Missing number of bits per sample" in err
+
+
+@pytest.mark.parametrize("val", ["5", "8001", "x"])
+def test_encode_invalid_bits(val):
+    code, out, err = run_cli(["encode", "--bits", val])
+    assert code == 1
+    assert "Invalid number of bits per sample" in err
+
+
+def test_encode_nonexistent_input(tmp_path):
+    code, out, err = run_cli(["encode", str(tmp_path / "nope.wav")])
+    assert code == 1
+    assert "Error" in err
+
+
+def test_encode_decode_roundtrip(fixture_dir_module):
+    wav = (fixture_dir_module / "square-mono.wav").read_bytes()
+    code, xa, err = run_cli(["encode", "--bits", "8"], stdin=wav)
+    assert code == 0 and xa[:4] == b"KWD1"
+    code, out, err = run_cli(["decode"], stdin=xa)
+    assert code == 0
+    # canonical header + same payload length
+    assert out[:4] == b"RIFF" and len(out) == len(wav)
+
+
+# -- decode error paths (CLI level) ----------------------------------------
+
+
+def test_decode_empty_input():
+    code, out, err = run_cli(["decode"], stdin=b"")
+    assert code == 1
+    assert "bjxa_fread_header" in err
+
+
+def test_decode_bad_magic():
+    code, out, err = run_cli(["decode"], stdin=b"KWD2" + bytes(28))
+    assert code == 1
+    assert "bjxa_fread_header" in err
+
+
+def test_decode_truncated_payload():
+    hdr = hex_to_bytes(
+        """
+        4b574431 | KWD1
+        21000000 | 33
+        20000000 | 32
+        44ac 08 01 | 44100 8bit mono
+        00000000 | loop
+        0000 0000 0000 0000 | bef
+        00000000 | pad
+        """
+    )
+    code, out, err = run_cli(["decode"], stdin=hdr + bytes(10))
+    assert code == 1
+    assert "End of file" in err
+    assert out[:4] == b"RIFF"  # header written before the failure
+
+
+INVALID_PROFILE_XA = """
+4b574431 | KWD1
+32000000 | 50
+20000000 | 32
+44ac 06 02 | 44100 6bit stereo
+00000000 | loop
+0000 0000 0000 0000 | bef
+00000000 | pad
+00       | ok profile
+00000000 00000000 00000000
+00000000 00000000 00000000
+ff       | invalid profile
+00000000 00000000 00000000
+00000000 00000000 00000000
+"""
+
+
+@pytest.mark.parametrize("mode", [[], ["--streaming"]])
+def test_decode_invalid_profile(mode):
+    code, out, err = run_cli(
+        ["decode"] + mode, stdin=hex_to_bytes(INVALID_PROFILE_XA)
+    )
+    assert code == 1
+    assert "bjxa_decode" in err
+    assert out[:4] == b"RIFF"
