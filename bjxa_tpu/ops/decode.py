@@ -68,29 +68,28 @@ def decode_arrays(blocks: jnp.ndarray, state: jnp.ndarray, *, bits: int):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("bits", "num_chunks"))
-def decode_arrays_fixpoint(
-    blocks: jnp.ndarray,
+def fixpoint_core(
+    profiles: jnp.ndarray,
+    samples: jnp.ndarray,
     state: jnp.ndarray,
-    *,
-    bits: int,
     num_chunks: int,
 ):
-    """Exact chunk-parallel decode of one file via fixed-point iteration.
+    """Traceable chunk-parallel fixed-point decode core.
 
     Args:
-      blocks: ``uint8[C, B, block_size]``; B need not divide num_chunks.
-      state:  ``int32[C, 2]``.
+      profiles: ``int32[C, B]``; samples: ``int32[C, B, 32]`` (unpacked);
+      state: ``int32[C, 2]`` — the *true* entry state of block 0 (for the
+        device-sharded decoder this is the dynamically guessed boundary
+        state, which is exactly what makes the outer fixed point work).
 
     Returns ``(pcm int16[B*32, C], end_state int32[C, 2], valid bool[B, C],
-    iterations int32)``.
+    iterations int32)``.  Usable under jit directly or inside shard_map.
     """
-    C, B, S = blocks.shape
+    C, B = profiles.shape
     K = num_chunks
     Bc = -(-B // K)  # blocks per chunk, ceil
     pad = K * Bc - B
 
-    profiles, samples = inflate_blocks(blocks, bits)  # [C,B], [C,B,32]
     # Pad the tail with valid dummy blocks (profile 0, samples 0).
     profiles = jnp.pad(profiles, ((0, 0), (0, pad)))
     samples = jnp.pad(samples, ((0, 0), (0, pad), (0, 0)))
@@ -146,6 +145,75 @@ def decode_arrays_fixpoint(
         [frames[last - 1], frames[last - 2]], axis=-1
     ).astype(jnp.int32)
     return frames, end_state, valid, iters
+
+
+def fixpoint_end_state(
+    profiles: jnp.ndarray,
+    samples: jnp.ndarray,
+    state: jnp.ndarray,
+    num_chunks: int,
+):
+    """States-only variant of :func:`fixpoint_core`: returns just the exact
+    end state ``int32[C, 2]`` (no sample output materialized).  Requires the
+    block count to divide ``num_chunks`` so the last chunk ends exactly at
+    the stream end.  Used by the device-sharded decoder's propagation loop.
+    """
+    C, B = profiles.shape
+    K = num_chunks
+    assert B % K == 0, "fixpoint_end_state: pad blocks to the chunk grid"
+    Bc = B // K
+
+    prof_l = profiles.reshape(C, K, Bc).transpose(2, 1, 0).reshape(Bc, K * C)
+    samp_l = (
+        samples.reshape(C, K, Bc, BLOCK_SAMPLES)
+        .transpose(2, 3, 1, 0)
+        .reshape(Bc, BLOCK_SAMPLES, K * C)
+    )
+    anchor = state.astype(jnp.int32)
+
+    def propagate(states):
+        _, end, _ = decode_lanes(
+            prof_l, samp_l, states.reshape(K * C, 2), with_output=False
+        )
+        return end.reshape(K, C, 2)
+
+    def shift(end):
+        return jnp.concatenate([anchor[None], end[:-1]], axis=0)
+
+    def cond(carry):
+        states, prev, _ = carry
+        return jnp.any(states != prev)
+
+    def body(carry):
+        states, _, end = carry
+        end = propagate(states)
+        return shift(end), states, end
+
+    init = jnp.zeros((K, C, 2), jnp.int32).at[0].set(anchor)
+    end0 = propagate(init)
+    _, _, end = lax.while_loop(cond, body, (shift(end0), init, end0))
+    return end[-1]
+
+
+@partial(jax.jit, static_argnames=("bits", "num_chunks"))
+def decode_arrays_fixpoint(
+    blocks: jnp.ndarray,
+    state: jnp.ndarray,
+    *,
+    bits: int,
+    num_chunks: int,
+):
+    """Exact chunk-parallel decode of one file via fixed-point iteration.
+
+    Args:
+      blocks: ``uint8[C, B, block_size]``; B need not divide num_chunks.
+      state:  ``int32[C, 2]``.
+
+    Returns ``(pcm int16[B*32, C], end_state int32[C, 2], valid bool[B, C],
+    iterations int32)``.
+    """
+    profiles, samples = inflate_blocks(blocks, bits)  # [C,B], [C,B,32]
+    return fixpoint_core(profiles, samples, state, num_chunks)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,148 @@
+"""Device-sharded decode: data parallel over files, sequence parallel over
+the block range of a single stream.
+
+The whole cross-device "context" of an XA stream is two int16 predictor
+taps per channel (``bjxa.5.rst:186-187``), so sequence-parallel decode is a
+boundary-state fixed point over the device ring: every device decodes its
+block range from a guessed input state, sends its exact end state to the
+right neighbour with ``lax.ppermute``, and the ring iterates until a
+``psum``-agreed fixed point — at most ``n_devices`` rounds, typically 2-3,
+each round internally running the intra-device chunk fixed point
+(:func:`bjxa_tpu.ops.decode.fixpoint_core`).  The result is bit-exact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from bjxa_tpu.ops.decode import (
+    decode_batch,
+    fixpoint_core,
+    fixpoint_end_state,
+)
+from bjxa_tpu.ops.filter import decode_lanes
+from bjxa_tpu.ops.inflate import inflate_blocks
+from bjxa_tpu.ops.tables import BLOCK_SAMPLES
+
+
+# --------------------------------------------------------------------------
+# data parallel over files
+# --------------------------------------------------------------------------
+
+
+def decode_corpus_sharded(
+    blocks, states, *, bits: int, mesh: Mesh, axis: str = "dp"
+):
+    """Decode a batch of equal-shape files sharded over the mesh's file axis.
+
+    Args:
+      blocks: ``uint8[N, C, B, block_size]`` with N divisible by the axis
+        size (the corpus engine pads with dummy files).
+      states: ``int32[N, C, 2]``.
+
+    Idiomatic sharded jit: inputs carry NamedShardings over the file axis
+    and XLA partitions the (embarrassingly parallel) lane computation — no
+    collectives needed since file lanes never communicate.
+    """
+    n_shard = mesh.shape[axis]
+    assert blocks.shape[0] % n_shard == 0
+    blk_sh = NamedSharding(mesh, P(axis, None, None, None))
+    st_sh = NamedSharding(mesh, P(axis, None, None))
+    blocks = jax.device_put(jnp.asarray(blocks), blk_sh)
+    states = jax.device_put(jnp.asarray(states, jnp.int32), st_sh)
+    return decode_batch(blocks, states, bits=bits)
+
+
+# --------------------------------------------------------------------------
+# sequence parallel over one stream's block range
+# --------------------------------------------------------------------------
+
+
+def decode_file_sharded(
+    blocks: np.ndarray,
+    state: np.ndarray,
+    *,
+    bits: int,
+    mesh: Mesh,
+    axis: str = "sp",
+    local_chunks: int = 16,
+):
+    """Decode one stream with its block range sharded across devices.
+
+    Args:
+      blocks: ``uint8[C, B, block_size]``; B is padded up to the device x
+        chunk grid with valid dummy blocks.
+      state:  ``int32[C, 2]`` initial predictor state from the header.
+      local_chunks: intra-device chunk-parallel lanes per ring round.
+
+    Returns ``(pcm int16[B*32, C], valid bool[B, C], rounds int32)``.
+    """
+    n = mesh.shape[axis]
+    C, B, S = blocks.shape
+    grid = n * local_chunks
+    Bp = -(-B // grid) * grid
+    if Bp != B:
+        pad = np.zeros((C, Bp - B, S), np.uint8)
+        blocks = np.concatenate([blocks, pad], axis=1)
+
+    fn = jax.jit(
+        shard_map(
+            partial(
+                _sharded_body,
+                bits=bits,
+                axis=axis,
+                local_chunks=local_chunks,
+            ),
+            mesh=mesh,
+            in_specs=(P(None, axis, None), P(None, None)),
+            out_specs=(P(axis, None), P(axis, None), P(axis)),
+        ),
+    )
+    pcm, valid, rounds = fn(jnp.asarray(blocks), jnp.asarray(state, jnp.int32))
+    return (
+        np.asarray(pcm)[: B * BLOCK_SAMPLES],
+        np.asarray(valid)[:B],
+        int(np.asarray(rounds).reshape(-1)[0]),
+    )
+
+
+def _sharded_body(blocks_l, state0, *, bits, axis, local_chunks):
+    """Per-device body: local fixpoint decode + ring boundary fixed point."""
+    n = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+    profiles, samples = inflate_blocks(blocks_l, bits)  # [C,Bl], [C,Bl,32]
+
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+
+    def propagate(my_state):
+        end = fixpoint_end_state(profiles, samples, my_state, local_chunks)
+        nxt = lax.ppermute(end, axis, perm=fwd)
+        return jnp.where(idx == 0, state0, nxt)
+
+    def changed_somewhere(a, b):
+        local = jnp.any(a != b).astype(jnp.int32)
+        return lax.psum(local, axis) > 0
+
+    def cond(carry):
+        st, prev, it = carry
+        return jnp.logical_and(it < n, changed_somewhere(st, prev))
+
+    def body(carry):
+        st, _, it = carry
+        return propagate(st), st, it + 1
+
+    init = jnp.where(idx == 0, state0, jnp.zeros_like(state0))
+    first = propagate(init)
+    st, _, rounds = lax.while_loop(cond, body, (first, init, jnp.int32(1)))
+
+    pcm, _end, valid, _iters = fixpoint_core(
+        profiles, samples, st, local_chunks
+    )
+    return pcm, valid, rounds[None]
