@@ -32,6 +32,7 @@ from bjxa_tpu.errors import (
     BjxaFault,
     BjxaInvalidState,
     BjxaIOError,
+    BjxaProtocolError,
 )
 from bjxa_tpu.format.pcm import dump_pcm, load_pcm
 from bjxa_tpu.format.riff import RiffFormat, dump_riff_header, parse_riff_header
@@ -166,8 +167,6 @@ class Decoder:
             raise BjxaFault("decode: no source buffer")
         fmt = self._fmt
         if self._blocks_left <= 0:
-            from bjxa_tpu.errors import BjxaProtocolError
-
             raise BjxaProtocolError("decode: stream exhausted")
         if len(src) < fmt.block_size_xa:
             raise BjxaBufferError("decode: need at least one whole XA block")
@@ -177,24 +176,46 @@ class Decoder:
             n = min(n, max_blocks)
         raw = np.frombuffer(src, np.uint8, count=n * fmt.block_size_xa)
         blocks = raw.reshape(n, fmt.channels, fmt.block_size)
-
-        out = np.empty((n, BLOCK_SAMPLES, fmt.channels), np.int16)
         state = self._state
+
+        from bjxa_tpu import native
+
+        if native.available():
+            flat, done = native.decode_blocks(blocks, fmt.bits, state)
+            out = flat[: done * BLOCK_SAMPLES]
+            failed = done < n
+        else:
+            out = np.empty((n, BLOCK_SAMPLES, fmt.channels), np.int16)
+            done, failed = 0, False
+            for i in range(n):
+                # channel-sequential, like src/libbjxa.c:633-646: a failure
+                # in the right channel leaves the left channel advanced.
+                try:
+                    for c in range(fmt.channels):
+                        profile = int(blocks[i, c, 0])
+                        unpacked = numpy_ref.unpack_blocks(
+                            blocks[i, c, 1:], fmt.bits
+                        )
+                        out[i, :, c] = numpy_ref.filter_block(
+                            unpacked, profile, state[c]
+                        )
+                except BjxaProtocolError:
+                    failed = True
+                    break
+                done += 1
+            out = out.reshape(-1, fmt.channels)[: done * BLOCK_SAMPLES]
+
         emitted = 0
-        for i in range(n):
-            # channel-sequential, like src/libbjxa.c:633-646: a failure in
-            # the right channel must leave the left channel state advanced.
-            for c in range(fmt.channels):
-                profile = int(blocks[i, c, 0])
-                unpacked = numpy_ref.unpack_blocks(blocks[i, c, 1:], fmt.bits)
-                out[i, :, c] = numpy_ref.filter_block(
-                    unpacked, profile, state[c]
-                )
+        for _ in range(done):
             frames = min(BLOCK_SAMPLES, self._pcm_left // (2 * fmt.channels))
             self._pcm_left -= frames * 2 * fmt.channels
             self._blocks_left -= 1
             emitted += frames
-        return out.reshape(-1, fmt.channels)[:emitted]
+        if failed:
+            raise BjxaProtocolError(
+                f"invalid block profile factor in block {done}"
+            )
+        return out[:emitted]
 
     # -- output ------------------------------------------------------------
 
@@ -259,8 +280,6 @@ class Encoder:
         rf.validate()
         samples = rf.samples
         if samples <= 0:
-            from bjxa_tpu.errors import BjxaProtocolError
-
             raise BjxaProtocolError("init: empty stream")
         nblocks = -(-samples // BLOCK_SAMPLES)
         block_size = bits * 4 + 1
@@ -334,8 +353,6 @@ class Encoder:
         self._check_ready()
         if pcm is None:
             raise BjxaFault("encode: no source buffer")
-        from bjxa_tpu.errors import BjxaProtocolError
-
         fmt = self._fmt
         if self._blocks_left <= 0:
             raise BjxaProtocolError("encode: stream exhausted")
@@ -350,43 +367,63 @@ class Encoder:
         ):
             raise BjxaBufferError("encode: need at least one whole block")
 
-        out = bytearray()
+        # figure out how many whole blocks this call covers
+        nblocks = 0
         pos = 0
-        while self._blocks_left > 0:
-            want = min(fmt.block_size_pcm, self._pcm_left) // frame_bytes
+        pcm_left = self._pcm_left
+        blocks_left = self._blocks_left
+        while blocks_left > 0:
+            want = min(fmt.block_size_pcm, pcm_left) // frame_bytes
             if frames.shape[0] - pos < want or want == 0:
                 break
-            chunk = frames[pos : pos + want]
             pos += want
-            block = np.zeros((BLOCK_SAMPLES, fmt.channels), np.int16)
-            block[:want] = chunk
-            if search:
-                out += self._encode_block_search(block)
-            else:
+            pcm_left -= want * frame_bytes
+            blocks_left -= 1
+            nblocks += 1
+
+        padded = np.zeros((nblocks * BLOCK_SAMPLES, fmt.channels), np.int16)
+        padded[: min(pos, nblocks * BLOCK_SAMPLES)] = frames[:pos]
+
+        from bjxa_tpu import native
+
+        if native.available():
+            blocks = native.encode_blocks(
+                padded, fmt.bits, self._state, search=search
+            )
+            out = blocks.tobytes()
+        elif search:
+            out = self._encode_search_device(padded, nblocks)
+        else:
+            buf = bytearray()
+            for i in range(nblocks):
                 for c in range(fmt.channels):
                     prof, payload = numpy_ref.encode_truncate_block(
-                        block[:, c], fmt.bits
+                        padded[i * BLOCK_SAMPLES : (i + 1) * BLOCK_SAMPLES, c],
+                        fmt.bits,
                     )
-                    out.append(prof)
-                    out += payload.tobytes()
-            self._pcm_left -= want * frame_bytes
-            self._blocks_left -= 1
-        return bytes(out)
+                    buf.append(prof)
+                    buf += payload.tobytes()
+            out = bytes(buf)
 
-    def _encode_block_search(self, block: np.ndarray) -> bytes:
-        """One-block profile search through the device kernel."""
+        self._pcm_left = pcm_left
+        self._blocks_left = blocks_left
+        return out
+
+    def _encode_search_device(self, padded: np.ndarray, nblocks: int) -> bytes:
+        """Profile-search encode of the buffered blocks via the device
+        kernel (fallback when the native library is unavailable)."""
         import jax.numpy as jnp
 
         from bjxa_tpu.ops.deflate import deflate_blocks
         from bjxa_tpu.ops.encode import encode_search
 
         fmt = self._fmt
-        lanes = block.astype(np.int32).reshape(1, BLOCK_SAMPLES, fmt.channels)
+        lanes = padded.astype(np.int32).reshape(
+            nblocks, BLOCK_SAMPLES, fmt.channels
+        )
         profiles, coded, _recon, end = encode_search(
             jnp.asarray(lanes), jnp.asarray(self._state), bits=fmt.bits
         )
         self._state = np.asarray(end)
-        blocks = deflate_blocks(
-            profiles, coded.transpose(0, 2, 1), fmt.bits
-        )
+        blocks = deflate_blocks(profiles, coded.transpose(0, 2, 1), fmt.bits)
         return np.asarray(blocks).tobytes()
