@@ -105,11 +105,25 @@ def adpcm_filter_lanes(
     return pcm, end_state
 
 
+def _pallas_default() -> bool:
+    """Use the Pallas kernel on TPU-like backends unless overridden."""
+    import os
+
+    env = os.environ.get("BJXA_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover - backend probing only
+        return False
+
+
 def decode_lanes(
     profiles: jnp.ndarray,
     samples: jnp.ndarray,
     state: jnp.ndarray,
     with_output: bool = True,
+    use_pallas: bool | None = None,
 ):
     """Full per-lane block decode: profile decode, range shift, filter.
 
@@ -117,10 +131,19 @@ def decode_lanes(
       profiles: ``int32[B, L]`` — profile byte per block per lane.
       samples:  ``int32[B, 32, L]`` — unpacked top-bits sample values.
       state:    ``int32[L, 2]``.
+      use_pallas: force the Pallas kernel on/off; default auto (TPU: on).
 
     Returns ``(pcm int16[B, 32, L] | None, end_state int32[L, 2],
     valid bool[B, L])``.
     """
+    if use_pallas is None:
+        use_pallas = _pallas_default()
+    if use_pallas:
+        from bjxa_tpu.ops.pallas_filter import decode_lanes_pallas
+
+        return decode_lanes_pallas(
+            profiles, samples, state, with_output=with_output
+        )
     k0, k1, shift, valid = profile_gains(profiles)
     ranged = samples >> shift[:, None, :]
     pcm, end_state = adpcm_filter_lanes(
