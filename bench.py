@@ -5,12 +5,16 @@ Prints one JSON line:
    "unit": "Msamples/s", "vs_baseline": <ratio>}
 
 Baseline (BASELINE.md): the reference C library decodes ~100 Msamples/s on
-one Xeon core (measured; the project publishes no numbers of its own).
+one Xeon core (measured during the survey; the project publishes no
+numbers of its own).
 
-The workload decodes a large batch of synthetic 8-bit stereo streams —
-the same shape of work as the reference's throughput measurement (50x
-square-stereo-8.xa), but batched the TPU way: thousands of independent
-channel lanes scanning in lockstep on the VPU.
+Methodology: the workload is a large batch of 8-bit stereo streams decoded
+by the full device pipeline (unpack -> layout -> prediction-filter kernel).
+To measure the chip rather than host/tunnel launch latency, T pipeline
+iterations are chained inside one jit (each iteration's end state feeds
+the next, so nothing can be hoisted or elided) and the steady-state rate
+is the work/time *slope* between a short and a long chain — launch
+overhead and data staging cancel out.  Data is generated on-device.
 """
 
 from __future__ import annotations
@@ -19,26 +23,12 @@ import json
 import os
 import time
 
-import numpy as np
-
-
-def make_corpus(n_files: int, channels: int, nblocks: int, bits: int, seed=7):
-    from bjxa_tpu.ops.tables import block_size_for_bits
-
-    rng = np.random.default_rng(seed)
-    size = block_size_for_bits(bits)
-    blocks = rng.integers(
-        0, 256, size=(n_files, channels, nblocks, size), dtype=np.uint8
-    )
-    factor = rng.integers(0, 5, size=(n_files, channels, nblocks))
-    shift = rng.integers(0, 16, size=(n_files, channels, nblocks))
-    blocks[..., 0] = (factor << 4 | shift).astype(np.uint8)
-    states = np.zeros((n_files, channels, 2), np.int32)
-    return blocks, states
-
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax, random
 
     from bjxa_tpu.ops.decode import decode_batch
 
@@ -46,25 +36,60 @@ def main() -> None:
     n_files = int(os.environ.get("BENCH_FILES", "16384"))
     nblocks = int(os.environ.get("BENCH_BLOCKS", "64"))
     channels = 2
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    t_short = int(os.environ.get("BENCH_T_SHORT", "2"))
+    t_long = int(os.environ.get("BENCH_T_LONG", "10"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    size = bits * 4 + 1
 
-    blocks, states = make_corpus(n_files, channels, nblocks, bits)
-    blocks_d = jax.device_put(blocks)
-    states_d = jax.device_put(states)
+    @jax.jit
+    def gen(key):
+        kd, kf, ks = random.split(key, 3)
+        blocks = random.randint(
+            kd, (n_files, channels, nblocks, size), 0, 256, jnp.int32
+        ).astype(jnp.uint8)
+        factor = random.randint(kf, (n_files, channels, nblocks), 0, 5)
+        shift = random.randint(ks, (n_files, channels, nblocks), 0, 16)
+        prof = (factor << 4 | shift).astype(jnp.uint8)
+        return blocks.at[..., 0].set(prof)
 
-    def run():
-        pcm, end, valid = decode_batch(blocks_d, states_d, bits=bits)
-        jax.block_until_ready(pcm)
-        return pcm
+    blocks = gen(random.PRNGKey(7))
+    states0 = jnp.zeros((n_files, channels, 2), jnp.int32)
+    jax.block_until_ready(blocks)
 
-    run()  # compile + warm up
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        run()
-    dt = (time.perf_counter() - t0) / reps
+    decode_core = decode_batch.__wrapped__
 
-    samples = n_files * channels * nblocks * 32
-    msps = samples / dt / 1e6
+    def chain(T):
+        @jax.jit
+        def f(b, st):
+            def body(_, carry):
+                st, chk = carry
+                frames, end, valid = decode_core(b, st, bits=bits)
+                # real (bounded) dependency on the sample output so the
+                # pcm writes can't be dead-code-eliminated
+                st = end + (
+                    frames[:, -1, :].astype(jnp.int32)[..., None] >> 15
+                )
+                chk = chk + jnp.sum(end)
+                return st, chk
+            st, chk = lax.fori_loop(0, T, body, (st, jnp.int32(0)))
+            return chk
+        return f
+
+    def measure(T):
+        f = chain(T)
+        int(f(blocks, states0))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            int(f(blocks, states0))
+        return (time.perf_counter() - t0) / reps
+
+    dt_short = measure(t_short)
+    dt_long = measure(t_long)
+    samples_per_iter = n_files * channels * nblocks * 32
+    slope = (t_long - t_short) * samples_per_iter / max(
+        dt_long - dt_short, 1e-9
+    )
+    msps = slope / 1e6
     baseline_msps = 100.0
     print(
         json.dumps(

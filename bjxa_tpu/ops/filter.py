@@ -145,7 +145,12 @@ def decode_lanes(
             profiles, samples, state, with_output=with_output
         )
     k0, k1, shift, valid = profile_gains(profiles)
-    ranged = samples >> shift[:, None, :]
+    # keep the ranged array in the narrowest dtype the domain allows:
+    # int16 when samples arrive as int16 (arithmetic shift stays in range)
+    if samples.dtype == jnp.int16:
+        ranged = samples >> shift.astype(jnp.int16)[:, None, :]
+    else:
+        ranged = samples >> shift[:, None, :]
     pcm, end_state = adpcm_filter_lanes(
         ranged, k0, k1, state, with_output=with_output
     )

@@ -62,8 +62,11 @@ def inflate_blocks(blocks: jnp.ndarray, bits: int):
     """Split raw XA blocks into profiles and unpacked sample values.
 
     ``blocks``: ``uint8[..., block_size]`` with the leading profile byte.
-    Returns ``(profile int32[...], samples int32[..., 32])``.
+    Returns ``(profile int32[...], samples int16[..., 32])`` — samples are
+    int16 by construction (top-bits domain), and keeping them narrow
+    halves the HBM traffic of the layout passes between unpack and the
+    filter kernel.
     """
     profiles = blocks[..., 0].astype(jnp.int32)
-    samples = unpack_payload(blocks[..., 1:], bits)
+    samples = unpack_payload(blocks[..., 1:], bits).astype(jnp.int16)
     return profiles, samples
