@@ -288,19 +288,29 @@ def decode_bytes(
     fmt: XAFormat,
     *,
     parallel: bool = True,
-    min_chunk_blocks: int = 64,
-    max_chunks: int = 512,
+    min_chunk_blocks: int = 8,
+    max_chunks: int = 4096,
 ) -> np.ndarray:
     """Decode one XA payload to interleaved PCM ``int16[samples, C]``.
 
     Chooses the chunk-parallel fixed-point pipeline for long streams and the
     plain scan for short ones.  Raises BjxaProtocolError on an invalid
     profile factor anywhere in the stream.
+
+    Chunk-count heuristic: fill one Pallas lane tile (2048 lanes) when the
+    stream is long enough — each chunk must still hold enough blocks
+    (``min_chunk_blocks``) that the fixed point converges in a few rounds
+    (state transients die within ~5 blocks).
     """
     blocks = blocks_from_bytes(payload, fmt)
     state = fmt.initial_state_array()
     B = fmt.blocks
-    num_chunks = min(max_chunks, max(1, B // min_chunk_blocks))
+    target_lanes = 2048
+    num_chunks = min(
+        max_chunks,
+        max(1, target_lanes // fmt.channels),
+        max(1, B // min_chunk_blocks),
+    )
     if parallel and num_chunks > 1:
         frames, _end, valid, _it = decode_arrays_fixpoint(
             blocks, state, bits=fmt.bits, num_chunks=num_chunks

@@ -87,6 +87,40 @@ def test_decode_random_stream_matches_reference(ref_bjxa, bits, channels):
 
 @pytest.mark.parametrize("bits", [4, 6, 8])
 @pytest.mark.parametrize("channels", [1, 2])
+def test_decode_nonzero_bef_state_matches_reference(ref_bjxa, bits, channels):
+    """Headers may seed the predictor taps (befL/befR); exercise them."""
+    import struct
+
+    rng = np.random.default_rng(1000 + bits + channels)
+    block_size = bits * 4 + 1
+    nblocks = 23
+    data_len = nblocks * block_size * channels
+    samples = nblocks * 32
+    bef = rng.integers(-32768, 32768, size=4)
+    header = struct.pack(
+        "<4sIIHBBI4hI",
+        b"KWD1",
+        data_len,
+        samples,
+        22050,
+        bits,
+        channels,
+        0,
+        *[int(x) for x in bef],
+        0,
+    )
+    payload = rng.integers(0, 256, size=data_len, dtype=np.uint8)
+    # valid profiles only
+    for i in range(nblocks * channels):
+        payload[i * block_size] = (
+            rng.integers(0, 5) << 4 | rng.integers(0, 16)
+        )
+    xa = header + payload.tobytes()
+    assert xa_to_wav(xa) == ref_decode(ref_bjxa, xa)
+
+
+@pytest.mark.parametrize("bits", [4, 6, 8])
+@pytest.mark.parametrize("channels", [1, 2])
 def test_truncation_encode_matches_reference(ref_bjxa, bits, channels):
     rng = np.random.default_rng(17 + bits + channels)
     sig = rng.integers(-32768, 32768, size=(32 * 21 + 5, channels)).astype(
