@@ -68,16 +68,68 @@ def decode_arrays(blocks: jnp.ndarray, state: jnp.ndarray, *, bits: int):
 # --------------------------------------------------------------------------
 
 
+def _fixpoint_states(run, anchor, K: int, C: int, max_iters: int):
+    """Iterate chunk boundary states to the exact fixed point.
+
+    ``run(states_flat int32[K*C, 2], with_output) -> (pcm|None,
+    end int32[K*C, 2])`` decodes every chunk lane from the given input
+    states.  Chunk 0 is anchored at ``anchor`` (the true entry state), so
+    after i iterations chunks 0..i hold exact states; the loop exits as
+    soon as nothing changes (integer equality — exactness is certain, not
+    probabilistic).  Returns ``(converged [K, C, 2], iterations)``.
+    """
+
+    def propagate(states):
+        _, end = run(states.reshape(K * C, 2), False)
+        end = end.reshape(K, C, 2)
+        return jnp.concatenate([anchor[None], end[:-1]], axis=0)
+
+    def cond(carry):
+        states, prev, it = carry
+        return jnp.logical_and(it < max_iters, jnp.any(states != prev))
+
+    def body(carry):
+        states, _, it = carry
+        return propagate(states), states, it + 1
+
+    init = jnp.zeros((K, C, 2), jnp.int32).at[0].set(anchor)
+    first = propagate(init)
+    states, _, iters = lax.while_loop(
+        cond, body, (first, init, jnp.int32(1))
+    )
+    return states, iters
+
+
+def _unscramble_chunks(pcm_l, B: int, K: int, C: int):
+    """[Bc, 32, K*C] chunk-lane output -> [B*32, C] frames (trim pad)."""
+    Bc = pcm_l.shape[0]
+    return (
+        pcm_l.reshape(Bc, BLOCK_SAMPLES, K, C)
+        .transpose(2, 0, 1, 3)
+        .reshape(K * Bc * BLOCK_SAMPLES, C)[: B * BLOCK_SAMPLES]
+    )
+
+
+def _end_from_frames(frames, B: int):
+    """True end state after the last real block (padded dummy blocks drag
+    lane state to zero, so recover it from the decoded samples)."""
+    last = B * BLOCK_SAMPLES
+    return jnp.stack([frames[last - 1], frames[last - 2]], axis=-1).astype(
+        jnp.int32
+    )
+
+
 def fixpoint_core(
     profiles: jnp.ndarray,
     samples: jnp.ndarray,
     state: jnp.ndarray,
     num_chunks: int,
 ):
-    """Traceable chunk-parallel fixed-point decode core.
+    """Traceable chunk-parallel fixed-point decode core (scan/Pallas filter
+    over unpacked samples).
 
     Args:
-      profiles: ``int32[C, B]``; samples: ``int32[C, B, 32]`` (unpacked);
+      profiles: ``int32[C, B]``; samples: unpacked ``[C, B, 32]``;
       state: ``int32[C, 2]`` — the *true* entry state of block 0 (for the
         device-sharded decoder this is the dynamically guessed boundary
         state, which is exactly what makes the outer fixed point work).
@@ -105,46 +157,65 @@ def fixpoint_core(
 
     anchor = state.astype(jnp.int32)  # [C, 2] — true state of chunk 0
 
-    def propagate(states):  # states: [K, C, 2] guessed chunk input states
-        _, end, _ = decode_lanes(
-            prof_l, samp_l, states.reshape(K * C, 2), with_output=False
+    def run(states_flat, with_output):
+        pcm, end, _valid = decode_lanes(
+            prof_l, samp_l, states_flat, with_output=with_output
         )
-        end = end.reshape(K, C, 2)
-        return jnp.concatenate([anchor[None], end[:-1]], axis=0)
+        return pcm, end
 
-    def cond(carry):
-        states, prev, it = carry
-        return jnp.logical_and(it < K, jnp.any(states != prev))
-
-    def body(carry):
-        states, _, it = carry
-        return propagate(states), states, it + 1
-
-    init = jnp.zeros((K, C, 2), jnp.int32).at[0].set(anchor)
-    first = propagate(init)
-    states, _, iters = lax.while_loop(cond, body, (first, init, jnp.int32(1)))
+    states, iters = _fixpoint_states(run, anchor, K, C, max_iters=K)
 
     # Final full pass with outputs from the converged (exact) states.
     pcm_l, _end_l, valid_l = decode_lanes(
         prof_l, samp_l, states.reshape(K * C, 2)
     )
-    # [Bc, 32, K*C] -> [K, Bc, 32, C] -> [K*Bc*32, C], trim padding tail.
-    frames = (
-        pcm_l.reshape(Bc, BLOCK_SAMPLES, K, C)
-        .transpose(2, 0, 1, 3)
-        .reshape(K * Bc * BLOCK_SAMPLES, C)[: B * BLOCK_SAMPLES]
-    )
+    frames = _unscramble_chunks(pcm_l, B, K, C)
     valid = (
         valid_l.reshape(Bc, K, C).transpose(1, 0, 2).reshape(K * Bc, C)[:B]
     )
-    # The stream's end state is the predictor state after the last *real*
-    # block; padded dummy blocks would have dragged the lane state to zero,
-    # so read it off the decoded samples instead (state == last two samples).
-    last = B * BLOCK_SAMPLES
-    end_state = jnp.stack(
-        [frames[last - 1], frames[last - 2]], axis=-1
-    ).astype(jnp.int32)
-    return frames, end_state, valid, iters
+    return frames, _end_from_frames(frames, B), valid, iters
+
+
+def fixpoint_core_fused(
+    blocks: jnp.ndarray,
+    state: jnp.ndarray,
+    num_chunks: int,
+    *,
+    bits: int,
+):
+    """Fused-kernel twin of :func:`fixpoint_core` operating on raw bytes.
+
+    Args:
+      blocks: ``uint8[C, B, block_size]`` raw channel blocks.
+      state:  ``int32[C, 2]``.
+
+    Same returns; the unpack happens inside the Pallas kernel, so the only
+    layout pass is a uint8 transpose.
+    """
+    from bjxa_tpu.ops.pallas_decode import fused_decode_padded
+
+    C, B, S = blocks.shape
+    K = num_chunks
+    Bc = -(-B // K)
+    pad = K * Bc - B
+    # all-zero dummy blocks are valid (profile 0) and get trimmed
+    blocks = jnp.pad(blocks, ((0, 0), (0, pad), (0, 0)))
+    # [C, K, Bc, S] -> [Bc, S, K, C] -> [Bc, S, K*C]
+    blocks_t = (
+        blocks.reshape(C, K, Bc, S).transpose(2, 3, 1, 0).reshape(Bc, S, K * C)
+    )
+    anchor = state.astype(jnp.int32)
+
+    def run(states_flat, with_output):
+        return fused_decode_padded(
+            blocks_t, states_flat, bits=bits, with_output=with_output
+        )
+
+    states, iters = _fixpoint_states(run, anchor, K, C, max_iters=K)
+    pcm_l, _ = run(states.reshape(K * C, 2), True)
+    frames = _unscramble_chunks(pcm_l, B, K, C)
+    valid = ((blocks[..., 0] >> 4) < 5).transpose(1, 0)[:B]  # [B, C]
+    return frames, _end_from_frames(frames, B), valid, iters
 
 
 def fixpoint_end_state(
@@ -171,28 +242,45 @@ def fixpoint_end_state(
     )
     anchor = state.astype(jnp.int32)
 
-    def propagate(states):
-        _, end, _ = decode_lanes(
-            prof_l, samp_l, states.reshape(K * C, 2), with_output=False
+    def run(states_flat, with_output):
+        pcm, end, _valid = decode_lanes(
+            prof_l, samp_l, states_flat, with_output=with_output
         )
-        return end.reshape(K, C, 2)
+        return pcm, end
 
-    def shift(end):
-        return jnp.concatenate([anchor[None], end[:-1]], axis=0)
+    states, _ = _fixpoint_states(run, anchor, K, C, max_iters=K)
+    _, end = run(states.reshape(K * C, 2), False)
+    return end.reshape(K, C, 2)[-1]
 
-    def cond(carry):
-        states, prev, _ = carry
-        return jnp.any(states != prev)
 
-    def body(carry):
-        states, _, end = carry
-        end = propagate(states)
-        return shift(end), states, end
+def fixpoint_end_state_fused(
+    blocks: jnp.ndarray,
+    state: jnp.ndarray,
+    num_chunks: int,
+    *,
+    bits: int,
+):
+    """Fused-kernel twin of :func:`fixpoint_end_state` on raw bytes
+    (``uint8[C, B, block_size]``, B divisible by num_chunks)."""
+    from bjxa_tpu.ops.pallas_decode import fused_decode_padded
 
-    init = jnp.zeros((K, C, 2), jnp.int32).at[0].set(anchor)
-    end0 = propagate(init)
-    _, _, end = lax.while_loop(cond, body, (shift(end0), init, end0))
-    return end[-1]
+    C, B, S = blocks.shape
+    K = num_chunks
+    assert B % K == 0
+    Bc = B // K
+    blocks_t = (
+        blocks.reshape(C, K, Bc, S).transpose(2, 3, 1, 0).reshape(Bc, S, K * C)
+    )
+    anchor = state.astype(jnp.int32)
+
+    def run(states_flat, with_output):
+        return fused_decode_padded(
+            blocks_t, states_flat, bits=bits, with_output=with_output
+        )
+
+    states, _ = _fixpoint_states(run, anchor, K, C, max_iters=K)
+    _, end = run(states.reshape(K * C, 2), False)
+    return end.reshape(K, C, 2)[-1]
 
 
 @partial(jax.jit, static_argnames=("bits", "num_chunks"))
@@ -212,6 +300,10 @@ def decode_arrays_fixpoint(
     Returns ``(pcm int16[B*32, C], end_state int32[C, 2], valid bool[B, C],
     iterations int32)``.
     """
+    from bjxa_tpu.ops.filter import _pallas_default
+
+    if _pallas_default():
+        return fixpoint_core_fused(blocks, state, num_chunks, bits=bits)
     profiles, samples = inflate_blocks(blocks, bits)  # [C,B], [C,B,32]
     return fixpoint_core(profiles, samples, state, num_chunks)
 
@@ -231,20 +323,38 @@ def decode_batch(blocks: jnp.ndarray, state: jnp.ndarray, *, bits: int):
 
     Returns ``(pcm int16[N, B*32, C], end_state int32[N, C, 2],
     valid bool[B, N, C])``.
+
+    On TPU backends the fused Pallas kernel consumes the raw bytes
+    directly (one cheap uint8 layout transpose, no unpacked intermediate);
+    elsewhere the XLA unpack + scan pipeline runs.
     """
+    from bjxa_tpu.ops.filter import _pallas_default
+
     N, C, B, S = blocks.shape
-    profiles, samples = inflate_blocks(blocks, bits)  # [N,C,B], [N,C,B,32]
-    prof_l = profiles.transpose(2, 0, 1).reshape(B, N * C)
-    samp_l = samples.transpose(2, 3, 0, 1).reshape(B, BLOCK_SAMPLES, N * C)
-    pcm, end_state, valid = decode_lanes(
-        prof_l, samp_l, state.reshape(N * C, 2)
-    )
+    if _pallas_default():
+        from bjxa_tpu.ops.pallas_decode import fused_decode_padded
+
+        blocks_t = blocks.transpose(2, 3, 0, 1).reshape(B, S, N * C)
+        pcm, end_state = fused_decode_padded(
+            blocks_t, state.reshape(N * C, 2), bits=bits
+        )
+        valid = ((blocks[..., 0] >> 4) < 5).transpose(2, 0, 1)  # [B, N, C]
+    else:
+        profiles, samples = inflate_blocks(blocks, bits)
+        prof_l = profiles.transpose(2, 0, 1).reshape(B, N * C)
+        samp_l = samples.transpose(2, 3, 0, 1).reshape(
+            B, BLOCK_SAMPLES, N * C
+        )
+        pcm, end_state, valid_l = decode_lanes(
+            prof_l, samp_l, state.reshape(N * C, 2)
+        )
+        valid = valid_l.reshape(B, N, C)
     frames = (
         pcm.reshape(B, BLOCK_SAMPLES, N, C)
         .transpose(2, 0, 1, 3)
         .reshape(N, B * BLOCK_SAMPLES, C)
     )
-    return frames, end_state.reshape(N, C, 2), valid.reshape(B, N, C)
+    return frames, end_state.reshape(N, C, 2), valid
 
 
 # --------------------------------------------------------------------------

@@ -115,14 +115,29 @@ def decode_file_sharded(
 
 def _sharded_body(blocks_l, state0, *, bits, axis, local_chunks):
     """Per-device body: local fixpoint decode + ring boundary fixed point."""
+    from bjxa_tpu.ops.decode import (
+        fixpoint_core_fused,
+        fixpoint_end_state_fused,
+    )
+    from bjxa_tpu.ops.filter import _pallas_default
+
     n = lax.axis_size(axis)
     idx = lax.axis_index(axis)
-    profiles, samples = inflate_blocks(blocks_l, bits)  # [C,Bl], [C,Bl,32]
+    fused = _pallas_default()
+    if not fused:
+        profiles, samples = inflate_blocks(blocks_l, bits)  # [C,Bl], ...
 
     fwd = [(i, (i + 1) % n) for i in range(n)]
 
+    def local_end(my_state):
+        if fused:
+            return fixpoint_end_state_fused(
+                blocks_l, my_state, local_chunks, bits=bits
+            )
+        return fixpoint_end_state(profiles, samples, my_state, local_chunks)
+
     def propagate(my_state):
-        end = fixpoint_end_state(profiles, samples, my_state, local_chunks)
+        end = local_end(my_state)
         nxt = lax.ppermute(end, axis, perm=fwd)
         return jnp.where(idx == 0, state0, nxt)
 
@@ -142,7 +157,12 @@ def _sharded_body(blocks_l, state0, *, bits, axis, local_chunks):
     first = propagate(init)
     st, _, rounds = lax.while_loop(cond, body, (first, init, jnp.int32(1)))
 
-    pcm, _end, valid, _iters = fixpoint_core(
-        profiles, samples, st, local_chunks
-    )
+    if fused:
+        pcm, _end, valid, _iters = fixpoint_core_fused(
+            blocks_l, st, local_chunks, bits=bits
+        )
+    else:
+        pcm, _end, valid, _iters = fixpoint_core(
+            profiles, samples, st, local_chunks
+        )
     return pcm, valid, rounds[None]
