@@ -58,29 +58,27 @@ def main() -> None:
 
     decode_core = decode_batch.__wrapped__
 
-    def chain(T):
-        @jax.jit
-        def f(b, st):
-            def body(_, carry):
-                st, chk = carry
-                frames, end, valid = decode_core(b, st, bits=bits)
-                # real (bounded) dependency on the sample output so the
-                # pcm writes can't be dead-code-eliminated
-                st = end + (
-                    frames[:, -1, :].astype(jnp.int32)[..., None] >> 15
-                )
-                chk = chk + jnp.sum(end)
-                return st, chk
-            st, chk = lax.fori_loop(0, T, body, (st, jnp.int32(0)))
-            return chk
-        return f
+    @jax.jit
+    def chain(b, st, T):  # T is a traced trip count: one compile for all T
+        def body(_, carry):
+            st, chk = carry
+            frames, end, valid = decode_core(b, st, bits=bits)
+            # real (bounded) dependency on the sample output so the
+            # pcm writes can't be dead-code-eliminated
+            st = end + (
+                frames[:, -1, :].astype(jnp.int32)[..., None] >> 15
+            )
+            chk = chk + jnp.sum(end)
+            return st, chk
+        st, chk = lax.fori_loop(0, T, body, (st, jnp.int32(0)))
+        return chk
 
     def measure(T):
-        f = chain(T)
-        int(f(blocks, states0))  # compile + warm
+        t_arr = jnp.int32(T)
+        int(chain(blocks, states0, t_arr))  # compile (first call) + warm
         t0 = time.perf_counter()
         for _ in range(reps):
-            int(f(blocks, states0))
+            int(chain(blocks, states0, t_arr))
         return (time.perf_counter() - t0) / reps
 
     dt_short = measure(t_short)

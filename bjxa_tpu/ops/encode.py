@@ -65,8 +65,28 @@ def encode_truncate(pcm: jnp.ndarray):
     return profiles, pcm.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("bits",))
 def encode_search(pcm: jnp.ndarray, state: jnp.ndarray, *, bits: int):
+    """Greedy exhaustive profile-search encode (dispatcher).
+
+    On TPU backends the Pallas search kernel runs
+    (:mod:`bjxa_tpu.ops.pallas_encode`); elsewhere the lane-vectorized
+    scan below.  Both pick identical profiles (same candidate order, same
+    float32 error accumulation); see the signature of
+    :func:`encode_search_scan` for args/returns.
+    """
+    from bjxa_tpu.ops.filter import _pallas_default
+
+    if _pallas_default():
+        from bjxa_tpu.ops.pallas_encode import encode_search_pallas
+
+        return encode_search_pallas(
+            pcm.astype(jnp.int32), state, bits=bits
+        )
+    return encode_search_scan(pcm, state, bits=bits)
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def encode_search_scan(pcm: jnp.ndarray, state: jnp.ndarray, *, bits: int):
     """Greedy exhaustive profile-search encode.
 
     Args:

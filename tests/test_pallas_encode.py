@@ -1,0 +1,45 @@
+"""Pallas search-encoder kernel vs the scan encoder, interpret mode.
+
+Small shapes: interpret mode executes op-by-op; equality here guarantees
+identical profile selection (same candidate order + f32 error
+accumulation) on real hardware.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bjxa_tpu.ops.encode import encode_search_scan
+from bjxa_tpu.ops.pallas_encode import encode_search_pallas_core
+
+
+@pytest.mark.parametrize("bits", [4, 6, 8])
+def test_pallas_encode_matches_scan(bits):
+    rng = np.random.default_rng(bits)
+    B, L = 2, 16
+    t = np.arange(B * 32)[:, None]
+    sig = (
+        7000 * np.sin(2 * np.pi * t / 40.0)
+        + rng.normal(0, 500, size=(B * 32, L))
+    ).astype(np.int16)
+    pcm = sig.reshape(B, 32, L).astype(np.int32)
+    state = rng.integers(-2000, 2000, size=(L, 2)).astype(np.int32)
+
+    ref_prof, ref_coded, ref_recon, ref_end = encode_search_scan(
+        jnp.asarray(pcm), jnp.asarray(state), bits=bits
+    )
+    prof, coded, recon, end = encode_search_pallas_core(
+        jnp.asarray(pcm),
+        jnp.asarray(state),
+        bits=bits,
+        lane_tile=16,
+        block_tile=2,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(prof), np.asarray(ref_prof))
+    np.testing.assert_array_equal(
+        np.asarray(coded), np.asarray(ref_coded).astype(np.int16)
+    )
+    np.testing.assert_array_equal(np.asarray(recon), np.asarray(ref_recon))
+    np.testing.assert_array_equal(np.asarray(end), np.asarray(ref_end))
