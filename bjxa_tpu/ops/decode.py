@@ -415,11 +415,19 @@ def decode_bytes(
     blocks = blocks_from_bytes(payload, fmt)
     state = fmt.initial_state_array()
     B = fmt.blocks
+    # Bucket the block count so files of similar length share one compiled
+    # program (dummy profile-0 blocks pad the tail and are trimmed).
+    Bp = -(-B // 256) * 256 if B > 64 else B
+    if Bp != B:
+        blocks = np.concatenate(
+            [blocks, np.zeros((fmt.channels, Bp - B, fmt.block_size), np.uint8)],
+            axis=1,
+        )
     target_lanes = 2048
     num_chunks = min(
         max_chunks,
         max(1, target_lanes // fmt.channels),
-        max(1, B // min_chunk_blocks),
+        max(1, Bp // min_chunk_blocks),
     )
     if parallel and num_chunks > 1:
         frames, _end, valid, _it = decode_arrays_fixpoint(
@@ -427,5 +435,5 @@ def decode_bytes(
         )
     else:
         frames, _end, valid = decode_arrays(blocks, state, bits=fmt.bits)
-    check_valid(np.asarray(valid), fmt.channels)
+    check_valid(np.asarray(valid[:B]), fmt.channels)
     return np.asarray(frames[: fmt.samples])
