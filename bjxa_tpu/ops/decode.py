@@ -300,9 +300,9 @@ def decode_arrays_fixpoint(
     Returns ``(pcm int16[B*32, C], end_state int32[C, 2], valid bool[B, C],
     iterations int32)``.
     """
-    from bjxa_tpu.ops.filter import _pallas_default
+    from bjxa_tpu.ops.filter import _fused_default
 
-    if _pallas_default():
+    if _fused_default():
         return fixpoint_core_fused(blocks, state, num_chunks, bits=bits)
     profiles, samples = inflate_blocks(blocks, bits)  # [C,B], [C,B,32]
     return fixpoint_core(profiles, samples, state, num_chunks)
@@ -328,10 +328,10 @@ def decode_batch(blocks: jnp.ndarray, state: jnp.ndarray, *, bits: int):
     directly (one cheap uint8 layout transpose, no unpacked intermediate);
     elsewhere the XLA unpack + scan pipeline runs.
     """
-    from bjxa_tpu.ops.filter import _pallas_default
+    from bjxa_tpu.ops.filter import _fused_default
 
     N, C, B, S = blocks.shape
-    if _pallas_default():
+    if _fused_default():
         from bjxa_tpu.ops.pallas_decode import fused_decode_padded
 
         blocks_t = blocks.transpose(2, 3, 0, 1).reshape(B, S, N * C)

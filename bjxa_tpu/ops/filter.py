@@ -118,6 +118,16 @@ def _pallas_default() -> bool:
         return False
 
 
+def _fused_default() -> bool:
+    """The fully fused decode kernel currently loses to the two-stage
+    pipeline (~26 vs ~45 Gsamp/s on v5e: per-byte uint8 loads at the
+    int32-oriented (16, L/16) layout fight the native (32, 128) u8 tiling),
+    so it stays opt-in until the packed-word input variant lands."""
+    import os
+
+    return os.environ.get("BJXA_FUSED", "") not in ("", "0", "false", "off")
+
+
 def decode_lanes(
     profiles: jnp.ndarray,
     samples: jnp.ndarray,

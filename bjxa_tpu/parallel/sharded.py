@@ -119,11 +119,11 @@ def _sharded_body(blocks_l, state0, *, bits, axis, local_chunks):
         fixpoint_core_fused,
         fixpoint_end_state_fused,
     )
-    from bjxa_tpu.ops.filter import _pallas_default
+    from bjxa_tpu.ops.filter import _fused_default
 
     n = lax.axis_size(axis)
     idx = lax.axis_index(axis)
-    fused = _pallas_default()
+    fused = _fused_default()
     if not fused:
         profiles, samples = inflate_blocks(blocks_l, bits)  # [C,Bl], ...
 
