@@ -38,8 +38,14 @@ class Manifest:
     def record(self, key: str, **info) -> None:
         rec = {"key": key, **info}
         self._done[key] = rec
-        with self.path.open("a") as f:
-            f.write(json.dumps(rec) + "\n")
+        with self.path.open("ab") as f:
+            # a torn tail from a crashed run must not swallow this record:
+            # terminate any unterminated final line first
+            if f.tell() > 0:
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    f.write(b"\n")
+            f.write((json.dumps(rec) + "\n").encode())
             f.flush()
             os.fsync(f.fileno())
 
