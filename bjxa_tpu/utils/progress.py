@@ -38,7 +38,7 @@ class Manifest:
     def record(self, key: str, **info) -> None:
         rec = {"key": key, **info}
         self._done[key] = rec
-        with self.path.open("ab") as f:
+        with self.path.open("a+b") as f:
             # a torn tail from a crashed run must not swallow this record:
             # terminate any unterminated final line first
             if f.tell() > 0:
