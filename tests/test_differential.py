@@ -132,6 +132,46 @@ def test_truncation_encode_matches_reference(ref_bjxa, bits, channels):
     )
 
 
+def test_decode_fuzz_matches_reference(ref_bjxa):
+    """Randomized header fields (rate, loop, pad, bef seeds, truncated
+    final block) and payloads across every (bits, channels, length) shape."""
+    import struct
+
+    rng = np.random.default_rng(2026)
+    for trial in range(24):
+        bits = int(rng.choice([4, 6, 8]))
+        channels = int(rng.choice([1, 2]))
+        block_size = bits * 4 + 1
+        nblocks = int(rng.integers(1, 40))
+        data_len = nblocks * block_size * channels
+        # allow a truncated final block: samples within (max-32, max]
+        max_samples = 32 * nblocks
+        samples = int(max_samples - rng.integers(0, 32))
+        if samples <= 0:
+            samples = max_samples
+        header = struct.pack(
+            "<4sIIHBBI4hI",
+            b"KWD1",
+            data_len,
+            samples,
+            int(rng.integers(1, 65535)),
+            bits,
+            channels,
+            int(rng.integers(0, 2**32)),  # loop: ignored
+            *[int(x) for x in rng.integers(-32768, 32768, 4)],
+            int(rng.integers(0, 2**32)),  # pad: ignored
+        )
+        payload = rng.integers(0, 256, size=data_len, dtype=np.uint8)
+        for i in range(nblocks * channels):
+            payload[i * block_size] = (
+                rng.integers(0, 5) << 4 | rng.integers(0, 16)
+            )
+        xa = header + payload.tobytes()
+        assert xa_to_wav(xa) == ref_decode(ref_bjxa, xa), (
+            trial, bits, channels, nblocks, samples,
+        )
+
+
 @pytest.mark.parametrize("bits", [4, 6, 8])
 def test_fixture_encode_matches_reference(ref_bjxa, fixture_dir, bits):
     for stem in ("square-mono", "square-stereo"):
