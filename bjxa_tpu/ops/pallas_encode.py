@@ -146,7 +146,7 @@ def encode_search_pallas_core(
     state: jnp.ndarray,
     *,
     bits: int,
-    lane_tile: int = 512,
+    lane_tile: int = 1024,
     block_tile: int = 4,
     interpret: bool = False,
 ):
@@ -207,7 +207,7 @@ def encode_search_pallas(pcm, state, *, bits: int, interpret: bool = False):
     and blocks with zero blocks, trims outputs, recovers the end state
     from the last real reconstruction."""
     B, ns, L = pcm.shape
-    lane_tile, block_tile = 512, 4
+    lane_tile, block_tile = 1024, 4
     pad_l = (-L) % lane_tile
     pad_b = (-B) % block_tile
     p = pcm
