@@ -9,12 +9,16 @@ one Xeon core (measured during the survey; the project publishes no
 numbers of its own).
 
 Methodology: the workload is a large batch of 8-bit stereo streams decoded
-by the full device pipeline (unpack -> layout -> prediction-filter kernel).
-To measure the chip rather than host/tunnel launch latency, T pipeline
-iterations are chained inside one jit (each iteration's end state feeds
-the next, so nothing can be hoisted or elided) and the steady-state rate
-is the work/time *slope* between a short and a long chain — launch
-overhead and data staging cancel out.  Data is generated on-device.
+by the full device pipeline — the fused Pallas kernel consuming raw XA
+bytes in the lane-major layout the corpus engine stages (uint8[B, S, L]),
+producing filtered PCM and carried predictor state.  To measure the chip
+rather than host/tunnel launch latency, T pipeline iterations are chained
+inside one jit (each iteration's end state feeds the next, with a bounded
+dependency on the PCM output so nothing can be hoisted or elided) and the
+steady-state rate is the work/time *slope* between a short and a long
+chain — launch overhead and data staging cancel out.  Each point is the
+min over reps (the tunnel adds heavy-tailed noise).  Data is generated
+on-device.
 """
 
 from __future__ import annotations
@@ -27,47 +31,45 @@ import time
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    import numpy as np
     from jax import lax, random
 
-    from bjxa_tpu.ops.decode import decode_batch
+    from bjxa_tpu.ops.decode import decode_batch_lanes
 
     bits = int(os.environ.get("BENCH_BITS", "8"))
     n_files = int(os.environ.get("BENCH_FILES", "16384"))
     nblocks = int(os.environ.get("BENCH_BLOCKS", "64"))
     channels = 2
-    t_short = int(os.environ.get("BENCH_T_SHORT", "2"))
-    t_long = int(os.environ.get("BENCH_T_LONG", "10"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    t_short = int(os.environ.get("BENCH_T_SHORT", "4"))
+    t_long = int(os.environ.get("BENCH_T_LONG", "32"))
+    reps = int(os.environ.get("BENCH_REPS", "10"))
     size = bits * 4 + 1
+    lanes = n_files * channels
 
     @jax.jit
     def gen(key):
         kd, kf, ks = random.split(key, 3)
-        blocks = random.randint(
-            kd, (n_files, channels, nblocks, size), 0, 256, jnp.int32
+        blocks_t = random.randint(
+            kd, (nblocks, size, lanes), 0, 256, jnp.int32
         ).astype(jnp.uint8)
-        factor = random.randint(kf, (n_files, channels, nblocks), 0, 5)
-        shift = random.randint(ks, (n_files, channels, nblocks), 0, 16)
+        factor = random.randint(kf, (nblocks, lanes), 0, 5)
+        shift = random.randint(ks, (nblocks, lanes), 0, 16)
         prof = (factor << 4 | shift).astype(jnp.uint8)
-        return blocks.at[..., 0].set(prof)
+        return blocks_t.at[:, 0, :].set(prof)
 
-    blocks = gen(random.PRNGKey(7))
-    states0 = jnp.zeros((n_files, channels, 2), jnp.int32)
-    jax.block_until_ready(blocks)
+    blocks_t = gen(random.PRNGKey(7))
+    states0 = jnp.zeros((lanes, 2), jnp.int32)
+    jax.block_until_ready(blocks_t)
 
-    decode_core = decode_batch.__wrapped__
+    decode_core = decode_batch_lanes.__wrapped__
 
     @jax.jit
     def chain(b, st, T):  # T is a traced trip count: one compile for all T
         def body(_, carry):
             st, chk = carry
-            frames, end, valid = decode_core(b, st, bits=bits)
+            pcm, end, valid = decode_core(b, st, bits=bits)
             # real (bounded) dependency on the sample output so the
             # pcm writes can't be dead-code-eliminated
-            st = end + (
-                frames[:, -1, :].astype(jnp.int32)[..., None] >> 15
-            )
+            st = end + (pcm[-1, -1].astype(jnp.int32)[:, None] >> 15)
             chk = chk + jnp.sum(end)
             return st, chk
         st, chk = lax.fori_loop(0, T, body, (st, jnp.int32(0)))
@@ -75,15 +77,17 @@ def main() -> None:
 
     def measure(T):
         t_arr = jnp.int32(T)
-        int(chain(blocks, states0, t_arr))  # compile (first call) + warm
-        t0 = time.perf_counter()
+        int(chain(blocks_t, states0, t_arr))  # compile (first call) + warm
+        best = float("inf")
         for _ in range(reps):
-            int(chain(blocks, states0, t_arr))
-        return (time.perf_counter() - t0) / reps
+            t0 = time.perf_counter()
+            int(chain(blocks_t, states0, t_arr))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     dt_short = measure(t_short)
     dt_long = measure(t_long)
-    samples_per_iter = n_files * channels * nblocks * 32
+    samples_per_iter = lanes * nblocks * 32
     slope = (t_long - t_short) * samples_per_iter / max(
         dt_long - dt_short, 1e-9
     )

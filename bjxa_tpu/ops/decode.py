@@ -35,7 +35,7 @@ from jax import lax
 
 from bjxa_tpu.errors import BjxaProtocolError
 from bjxa_tpu.format.xa import XAFormat
-from bjxa_tpu.ops.inflate import inflate_blocks
+from bjxa_tpu.ops.inflate import inflate_blocks, inflate_lanes
 from bjxa_tpu.ops.filter import decode_lanes
 from bjxa_tpu.ops.tables import BLOCK_SAMPLES
 
@@ -176,6 +176,65 @@ def fixpoint_core(
     return frames, _end_from_frames(frames, B), valid, iters
 
 
+def fixpoint_lanes_core(
+    blocks_t: jnp.ndarray,
+    state: jnp.ndarray,
+    num_chunks: int,
+    channels: int,
+    b_total: int,
+    *,
+    bits: int,
+    fused: bool,
+):
+    """Chunk-parallel fixed-point decode over lane-major raw blocks.
+
+    The shared core behind every intra-stream parallel decode path.
+
+    Args:
+      blocks_t: ``uint8[Bc, S, K*C]`` — raw blocks, lane-minor, lane
+        ``l = k*C + c`` (chunk-major, channel-minor); trailing lanes beyond
+        ``b_total`` blocks hold valid dummy pad (profile 0, zero samples).
+      state:    ``int32[C, 2]`` — true entry state of chunk 0.
+      b_total:  real (pre-chunk-padding) block count, ``<= K*Bc``.
+      fused:    route through the fused Pallas kernel (TPU) or the XLA
+        lane-major unpack + scan pipeline (any backend).
+
+    Returns ``(pcm int16[b_total*32, C], end int32[C, 2],
+    valid bool[b_total, C], iterations int32)``.
+    """
+    Bc, S, KC = blocks_t.shape
+    K, C = num_chunks, channels
+    assert KC == K * C, (KC, K, C)
+    anchor = state.astype(jnp.int32)
+
+    if fused:
+        from bjxa_tpu.ops.pallas_decode import fused_decode_padded
+
+        def run(states_flat, with_output):
+            return fused_decode_padded(
+                blocks_t, states_flat, bits=bits, with_output=with_output
+            )
+    else:
+        profiles, samples = inflate_lanes(blocks_t, bits)
+
+        def run(states_flat, with_output):
+            pcm, end, _valid = decode_lanes(
+                profiles, samples, states_flat, with_output=with_output
+            )
+            return pcm, end
+
+    states, iters = _fixpoint_states(run, anchor, K, C, max_iters=K)
+    pcm_l, _ = run(states.reshape(K * C, 2), True)
+    frames = _unscramble_chunks(pcm_l, b_total, K, C)
+    valid_l = (blocks_t[:, 0, :] >> 4) < 5  # [Bc, K*C]
+    valid = (
+        valid_l.reshape(Bc, K, C)
+        .transpose(1, 0, 2)
+        .reshape(K * Bc, C)[:b_total]
+    )
+    return frames, _end_from_frames(frames, b_total), valid, iters
+
+
 def fixpoint_core_fused(
     blocks: jnp.ndarray,
     state: jnp.ndarray,
@@ -189,11 +248,10 @@ def fixpoint_core_fused(
       blocks: ``uint8[C, B, block_size]`` raw channel blocks.
       state:  ``int32[C, 2]``.
 
-    Same returns; the unpack happens inside the Pallas kernel, so the only
-    layout pass is a uint8 transpose.
+    Same returns.  Prefer :func:`fixpoint_lanes_core` with host-staged
+    lane-major input — the uint8 transpose here runs on device, which is
+    the slowest possible layout pass on TPU.
     """
-    from bjxa_tpu.ops.pallas_decode import fused_decode_padded
-
     C, B, S = blocks.shape
     K = num_chunks
     Bc = -(-B // K)
@@ -204,18 +262,9 @@ def fixpoint_core_fused(
     blocks_t = (
         blocks.reshape(C, K, Bc, S).transpose(2, 3, 1, 0).reshape(Bc, S, K * C)
     )
-    anchor = state.astype(jnp.int32)
-
-    def run(states_flat, with_output):
-        return fused_decode_padded(
-            blocks_t, states_flat, bits=bits, with_output=with_output
-        )
-
-    states, iters = _fixpoint_states(run, anchor, K, C, max_iters=K)
-    pcm_l, _ = run(states.reshape(K * C, 2), True)
-    frames = _unscramble_chunks(pcm_l, B, K, C)
-    valid = ((blocks[..., 0] >> 4) < 5).transpose(1, 0)[:B]  # [B, C]
-    return frames, _end_from_frames(frames, B), valid, iters
+    return fixpoint_lanes_core(
+        blocks_t, state, K, C, B, bits=bits, fused=True
+    )
 
 
 def fixpoint_end_state(
@@ -357,6 +406,71 @@ def decode_batch(blocks: jnp.ndarray, state: jnp.ndarray, *, bits: int):
     return frames, end_state.reshape(N, C, 2), valid
 
 
+@partial(
+    jax.jit,
+    static_argnames=("bits", "num_chunks", "channels", "b_total"),
+)
+def decode_fixpoint_lanes(
+    blocks_t: jnp.ndarray,
+    state: jnp.ndarray,
+    *,
+    bits: int,
+    num_chunks: int,
+    channels: int,
+    b_total: int,
+):
+    """Jitted chunk-parallel decode of host-staged lane-major blocks.
+
+    The single-stream fast path: the host slices the XA payload straight
+    into the ``uint8[Bc, S, K*C]`` chunk-lane layout (one numpy copy it
+    would pay for any layout), so the device runs zero byte transposes —
+    on TPU the fused kernel reads raw bytes at native (32, 128) uint8
+    tiling and writes filtered PCM.
+
+    Returns ``(pcm int16[b_total*32, C], end int32[C, 2],
+    valid bool[b_total, C], iterations int32)``.
+    """
+    from bjxa_tpu.ops.filter import _fused_default
+
+    return fixpoint_lanes_core(
+        blocks_t,
+        state,
+        num_chunks,
+        channels,
+        b_total,
+        bits=bits,
+        fused=_fused_default(),
+    )
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def decode_batch_lanes(blocks_t: jnp.ndarray, state: jnp.ndarray, *, bits: int):
+    """Decode lane-major raw blocks: the corpus/throughput fast path.
+
+    Lanes are independent channel streams (files x channels, any order the
+    caller chooses) — the host stages ``uint8[B, S, L]`` directly from file
+    bytes, and PCM comes back in the same lane order for the host
+    serializer to de-interleave per file while writing WAVs.
+
+    Args:
+      blocks_t: ``uint8[B, S, L]`` raw blocks, lane-minor.
+      state:    ``int32[L, 2]``.
+
+    Returns ``(pcm int16[B, 32, L], end int32[L, 2], valid bool[B, L])``.
+    """
+    from bjxa_tpu.ops.filter import _fused_default
+
+    valid = (blocks_t[:, 0, :] >> 4) < 5
+    if _fused_default():
+        from bjxa_tpu.ops.pallas_decode import fused_decode_padded
+
+        pcm, end = fused_decode_padded(blocks_t, state, bits=bits)
+    else:
+        profiles, samples = inflate_lanes(blocks_t, bits)
+        pcm, end, _v = decode_lanes(profiles, samples, state)
+    return pcm, end, valid
+
+
 # --------------------------------------------------------------------------
 # host-facing conveniences
 # --------------------------------------------------------------------------
@@ -375,6 +489,34 @@ def blocks_from_bytes(data: bytes | memoryview, fmt: XAFormat) -> np.ndarray:
             1, 0, 2
         )
     )
+
+
+def chunk_lanes_from_bytes(
+    payload: bytes | memoryview,
+    fmt: XAFormat,
+    num_chunks: int,
+    pad_blocks: int,
+) -> np.ndarray:
+    """Slice an XA payload straight into the chunk-lane device layout.
+
+    Returns ``uint8[Bc, S, K*C]`` with lane ``l = k*C + c`` — the layout
+    :func:`decode_fixpoint_lanes` consumes with zero device transposes.
+    ``pad_blocks`` (>= ``fmt.blocks``, a multiple of ``num_chunks``) sets the
+    padded block count; dummy pad blocks are all-zero (profile 0 = valid).
+    This is one numpy copy — the same cost as any other staging layout.
+    """
+    B, C, S, K = fmt.blocks, fmt.channels, fmt.block_size, num_chunks
+    assert pad_blocks >= B and pad_blocks % K == 0, (pad_blocks, B, K)
+    Bc = pad_blocks // K
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=B * fmt.block_size_xa
+    ).reshape(B, C, S)
+    padded = np.zeros((pad_blocks, C, S), np.uint8)
+    padded[:B] = raw
+    # [K, Bc, C, S] -> [Bc, S, K, C] -> [Bc, S, K*C]
+    return np.ascontiguousarray(
+        padded.reshape(K, Bc, C, S).transpose(1, 3, 0, 2)
+    ).reshape(Bc, S, K * C)
 
 
 def check_valid(valid: np.ndarray, channels: int) -> None:
@@ -407,33 +549,47 @@ def decode_bytes(
     plain scan for short ones.  Raises BjxaProtocolError on an invalid
     profile factor anywhere in the stream.
 
-    Chunk-count heuristic: fill one Pallas lane tile (2048 lanes) when the
-    stream is long enough — each chunk must still hold enough blocks
-    (``min_chunk_blocks``) that the fixed point converges in a few rounds
-    (state transients die within ~5 blocks).
+    Chunk-count heuristic: fill the Pallas lane grid (8192 lanes — the
+    measured sweet spot on v5e) when the stream is long enough — each chunk
+    must still hold enough blocks (``min_chunk_blocks``) that the fixed
+    point converges in a few rounds (state transients die within ~5
+    blocks).
     """
-    blocks = blocks_from_bytes(payload, fmt)
     state = fmt.initial_state_array()
     B = fmt.blocks
     # Bucket the block count so files of similar length share one compiled
     # program (dummy profile-0 blocks pad the tail and are trimmed).
     Bp = -(-B // 256) * 256 if B > 64 else B
-    if Bp != B:
-        blocks = np.concatenate(
-            [blocks, np.zeros((fmt.channels, Bp - B, fmt.block_size), np.uint8)],
-            axis=1,
-        )
-    target_lanes = 2048
+    target_lanes = 8192
     num_chunks = min(
         max_chunks,
         max(1, target_lanes // fmt.channels),
         max(1, Bp // min_chunk_blocks),
     )
+    while Bp % num_chunks:  # chunk grid must tile the padded block range
+        num_chunks -= 1
     if parallel and num_chunks > 1:
-        frames, _end, valid, _it = decode_arrays_fixpoint(
-            blocks, state, bits=fmt.bits, num_chunks=num_chunks
+        blocks_t = chunk_lanes_from_bytes(payload, fmt, num_chunks, Bp)
+        frames, _end, valid, _it = decode_fixpoint_lanes(
+            blocks_t,
+            state,
+            bits=fmt.bits,
+            num_chunks=num_chunks,
+            channels=fmt.channels,
+            b_total=Bp,
         )
     else:
+        blocks = blocks_from_bytes(payload, fmt)
+        if Bp != B:
+            blocks = np.concatenate(
+                [
+                    blocks,
+                    np.zeros(
+                        (fmt.channels, Bp - B, fmt.block_size), np.uint8
+                    ),
+                ],
+                axis=1,
+            )
         frames, _end, valid = decode_arrays(blocks, state, bits=fmt.bits)
     check_valid(np.asarray(valid[:B]), fmt.channels)
     return np.asarray(frames[: fmt.samples])

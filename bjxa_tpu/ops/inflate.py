@@ -58,6 +58,49 @@ def unpack_payload(payload: jnp.ndarray, bits: int) -> jnp.ndarray:
     return sign_extend_16(out)
 
 
+def unpack_payload_lanes(payload: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """Lane-major twin of :func:`unpack_payload`.
+
+    ``payload``: ``uint8[B, bits*4, L]`` — packed sample bytes with the lane
+    axis minor (the layout the fused kernel and the corpus engine stage).
+    Returns ``int16[B, 32, L]``.  Every op is elementwise over ``[B, ·, L]``
+    slabs — no full-array relayout; only small stacks along the sample axis.
+    """
+    b = payload.astype(jnp.int32)
+    B, nbytes, L = b.shape
+    if bits == 4:
+        hi = (b & 0xF0) << 8  # [B, 16, L] -> samples 0, 2, 4, ...
+        lo = (b & 0x0F) << 12  # -> samples 1, 3, 5, ...
+        out = jnp.stack([hi, lo], axis=2).reshape(B, BLOCK_SAMPLES, L)
+    elif bits == 6:
+        t0 = b[:, 0::3]  # [B, 8, L] first byte of each 3-byte triple
+        t1 = b[:, 1::3]
+        t2 = b[:, 2::3]
+        s0 = (t0 & 0xFC) << 8
+        s1 = ((t0 & 0x03) << 14) | ((t1 & 0xF0) << 6)
+        s2 = ((t1 & 0x0F) << 12) | ((t2 & 0xC0) << 4)
+        s3 = (t2 & 0x3F) << 10
+        out = jnp.stack([s0, s1, s2, s3], axis=2).reshape(
+            B, BLOCK_SAMPLES, L
+        )
+    elif bits == 8:
+        out = b << 8
+    else:
+        raise ValueError(f"unpack_payload_lanes: bad bit depth {bits}")
+    return sign_extend_16(out).astype(jnp.int16)
+
+
+def inflate_lanes(blocks_t: jnp.ndarray, bits: int):
+    """Lane-major twin of :func:`inflate_blocks`.
+
+    ``blocks_t``: ``uint8[B, block_size, L]`` raw blocks, lane-minor.
+    Returns ``(profile int32[B, L], samples int16[B, 32, L])``.
+    """
+    profiles = blocks_t[:, 0, :].astype(jnp.int32)
+    samples = unpack_payload_lanes(blocks_t[:, 1:, :], bits)
+    return profiles, samples
+
+
 def inflate_blocks(blocks: jnp.ndarray, bits: int):
     """Split raw XA blocks into profiles and unpacked sample values.
 

@@ -11,11 +11,13 @@ read + 2 bytes written per sample inside the kernel.  Input arrives as a
 lane-minor transpose of the raw blocks (``uint8[B, S, L]``) — transposing
 bytes is the cheapest possible layout pass.
 
-Layout: lanes split over the two minor dims ``(16, L/16)``; the block-size
-dimension S (17/25/33, odd by design) sits on a non-tiled axis.  The gain
-table is a 5-way select chain per block, amortized over its 32 samples.
-The predictor state lives in VMEM scratch across the sequential block
-grid.
+Layout: lanes split over the two minor dims ``(sublanes, L/sublanes)``;
+``sublanes=32`` matches uint8's native (32, 128) vreg tiling and is ~2.5x
+faster than the 16-way split on v5e (:func:`pick_tiles` chooses).  The
+block-size dimension S (17/25/33, odd by design) sits on a non-tiled axis.
+The gain table is a 5-way select chain per block, amortized over its 32
+samples.  The predictor state lives in VMEM scratch across the sequential
+block grid.
 """
 
 from __future__ import annotations
@@ -36,6 +38,23 @@ from bjxa_tpu.ops.tables import (
 )
 
 SUBLANES = 16
+
+
+def pick_tiles(L: int, B: int):
+    """Choose (sublanes, lane_tile, block_tile) for a lane count.
+
+    uint8's native vreg tiling is (32, 128), so a 32-way sublane split with
+    ``lane_tile >= 4096`` loads payload bytes at full native tiles — measured
+    ~2.5x faster on v5e than the (16, ·) half-native split.  Small lane
+    counts fall back to the (16, 128) split to avoid padding waste; tiny
+    batches stay under one tile.  block_tile keeps the double-buffered VMEM
+    working set a few MB (~16 MB budget).
+    """
+    if L >= 8192:
+        return 32, 8192, min(B, 4)
+    if L >= 4096:
+        return 32, 4096, min(B, 8)
+    return 16, 2048, min(B, 8)
 
 
 def _sel_gain(factor, table):
@@ -119,7 +138,7 @@ def _states_kernel(blocks_ref, state_ref, end_ref, st_ref, *, bits,
 @partial(
     jax.jit,
     static_argnames=("bits", "lane_tile", "block_tile", "with_output",
-                     "interpret"),
+                     "interpret", "sublanes"),
 )
 def fused_decode_lanes(
     blocks_t: jnp.ndarray,
@@ -130,6 +149,7 @@ def fused_decode_lanes(
     block_tile: int = 8,
     with_output: bool = True,
     interpret: bool = False,
+    sublanes: int = SUBLANES,
 ):
     """Decode lane-transposed raw blocks with the fused kernel.
 
@@ -148,22 +168,22 @@ def fused_decode_lanes(
     B, S, L = blocks_t.shape
     assert S == 4 * bits + 1, (S, bits)
     assert L % lane_tile == 0 and B % block_tile == 0, (L, B)
-    ln = lane_tile // SUBLANES
-    LN = L // SUBLANES
+    ln = lane_tile // sublanes
+    LN = L // sublanes
 
-    b4 = blocks_t.reshape(B, S, SUBLANES, LN)
-    st4 = state.transpose(1, 0).reshape(2, SUBLANES, LN)
+    b4 = blocks_t.reshape(B, S, sublanes, LN)
+    st4 = state.transpose(1, 0).reshape(2, sublanes, LN)
 
     in_specs = [
-        pl.BlockSpec((block_tile, S, SUBLANES, ln), lambda l, b: (b, 0, 0, l)),
-        pl.BlockSpec((2, SUBLANES, ln), lambda l, b: (0, 0, l)),
+        pl.BlockSpec((block_tile, S, sublanes, ln), lambda l, b: (b, 0, 0, l)),
+        pl.BlockSpec((2, sublanes, ln), lambda l, b: (0, 0, l)),
     ]
-    end_spec = pl.BlockSpec((2, SUBLANES, ln), lambda l, b: (0, 0, l))
-    end_shape = jax.ShapeDtypeStruct((2, SUBLANES, LN), jnp.int32)
+    end_spec = pl.BlockSpec((2, sublanes, ln), lambda l, b: (0, 0, l))
+    end_shape = jax.ShapeDtypeStruct((2, sublanes, LN), jnp.int32)
     params = dict(
         grid=(L // lane_tile, B // block_tile),
         in_specs=in_specs,
-        scratch_shapes=[pltpu.VMEM((2, SUBLANES, ln), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((2, sublanes, ln), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -176,14 +196,14 @@ def fused_decode_lanes(
                     with_output=True),
             out_specs=[
                 pl.BlockSpec(
-                    (block_tile, BLOCK_SAMPLES, SUBLANES, ln),
+                    (block_tile, BLOCK_SAMPLES, sublanes, ln),
                     lambda l, b: (b, 0, 0, l),
                 ),
                 end_spec,
             ],
             out_shape=[
                 jax.ShapeDtypeStruct(
-                    (B, BLOCK_SAMPLES, SUBLANES, LN), jnp.int16
+                    (B, BLOCK_SAMPLES, sublanes, LN), jnp.int16
                 ),
                 end_shape,
             ],
@@ -209,16 +229,22 @@ def fused_decode_padded(
     bits: int,
     with_output: bool = True,
     interpret: bool = False,
-    lane_tile: int = 2048,
-    block_tile: int = 8,
+    lane_tile: int | None = None,
+    block_tile: int | None = None,
+    sublanes: int | None = None,
 ):
     """Padding wrapper around :func:`fused_decode_lanes`.
 
     Pads lanes with zeros and blocks with profile-0/zero dummies, trims
     the result, and recovers the true end state from the last real samples
-    when trailing blocks were padded.
+    when trailing blocks were padded.  Tile parameters default to
+    :func:`pick_tiles` for the given lane count.
     """
     B, S, L = blocks_t.shape
+    auto_sub, auto_lt, auto_bt = pick_tiles(L, B)
+    sublanes = auto_sub if sublanes is None else sublanes
+    lane_tile = auto_lt if lane_tile is None else lane_tile
+    block_tile = auto_bt if block_tile is None else block_tile
     pad_l = (-L) % lane_tile
     pad_b = (-B) % block_tile
     bt = blocks_t
@@ -232,6 +258,7 @@ def fused_decode_padded(
         bits=bits,
         lane_tile=lane_tile,
         block_tile=block_tile,
+        sublanes=sublanes,
         with_output=with_output or pad_b > 0,
         interpret=interpret,
     )

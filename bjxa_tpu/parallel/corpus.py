@@ -27,7 +27,7 @@ from bjxa_tpu.format import (
     dump_riff_header,
     parse_xa_header,
 )
-from bjxa_tpu.ops.decode import blocks_from_bytes, decode_batch
+from bjxa_tpu.ops.decode import decode_batch_lanes
 from bjxa_tpu.ops.tables import BLOCK_SAMPLES
 from bjxa_tpu.utils.profiler import Counters
 from bjxa_tpu.utils.progress import Manifest
@@ -103,42 +103,46 @@ def decode_corpus(
 
     # ---- decode each group in device batches ----------------------------
     for (bits, channels, bucket), items in sorted(groups.items()):
+        size = bits * 4 + 1
         for start in range(0, len(items), batch_files):
             chunk = items[start : start + batch_files]
             n = len(chunk)
-            blocks = np.zeros(
-                (n, channels, bucket, bits * 4 + 1), np.uint8
-            )
-            states = np.zeros((n, channels, 2), np.int32)
+            # Stage lane-major (uint8[B, S, files*C]): the device consumes
+            # raw bytes at native tiling with zero transposes, and this
+            # slicing is the one numpy copy staging costs in any layout.
+            blocks_t = np.zeros((bucket, size, n * channels), np.uint8)
+            states = np.zeros((n * channels, 2), np.int32)
             for i, (path, fmt, payload) in enumerate(chunk):
-                blocks[i, :, : fmt.blocks] = blocks_from_bytes(payload, fmt)
-                states[i] = fmt.initial_state_array()
+                raw = np.frombuffer(
+                    payload, np.uint8, count=fmt.blocks * fmt.block_size_xa
+                ).reshape(fmt.blocks, channels, size)
+                lanes = slice(i * channels, (i + 1) * channels)
+                blocks_t[: fmt.blocks, :, lanes] = raw.transpose(0, 2, 1)
+                states[lanes] = fmt.initial_state_array()
 
             if mesh is not None:
-                from bjxa_tpu.parallel.sharded import decode_corpus_sharded
+                from bjxa_tpu.parallel.sharded import (
+                    decode_corpus_sharded_lanes,
+                )
 
-                n_dp = mesh.shape["dp"]
-                pad_files = (-n) % n_dp
-                if pad_files:
-                    blocks = np.concatenate(
-                        [blocks, np.zeros((pad_files, *blocks.shape[1:]), blocks.dtype)]
-                    )
-                    states = np.concatenate(
-                        [states, np.zeros((pad_files, *states.shape[1:]), states.dtype)]
-                    )
-                pcm, _end, valid = decode_corpus_sharded(
-                    blocks, states, bits=bits, mesh=mesh
+                pcm, _end, valid = decode_corpus_sharded_lanes(
+                    blocks_t, states, bits=bits, mesh=mesh
                 )
             else:
-                pcm, _end, valid = decode_batch(blocks, states, bits=bits)
-            pcm = np.asarray(pcm)
-            valid = np.asarray(valid)  # [bucket, n(+pad), C]
+                pcm, _end, valid = decode_batch_lanes(
+                    blocks_t, states, bits=bits
+                )
+            pcm = np.asarray(pcm)  # [bucket, 32, lanes]
+            valid = np.asarray(valid)  # [bucket, lanes]
 
             for i, (path, fmt, payload) in enumerate(chunk):
-                if not valid[: fmt.blocks, i].all():
+                lanes = slice(i * channels, (i + 1) * channels)
+                if not valid[: fmt.blocks, lanes].all():
                     failed[str(path)] = "invalid block profile factor"
                     continue
-                frames = pcm[i, : fmt.samples]
+                frames = pcm[:, :, lanes].reshape(
+                    bucket * BLOCK_SAMPLES, channels
+                )[: fmt.samples]
                 wav = dump_riff_header(
                     fmt.data_len_pcm, fmt.samples_rate, fmt.channels
                 ) + dump_pcm(frames)

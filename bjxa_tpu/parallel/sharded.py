@@ -24,6 +24,7 @@ from jax import shard_map
 
 from bjxa_tpu.ops.decode import (
     decode_batch,
+    decode_batch_lanes,
     fixpoint_core,
     fixpoint_end_state,
 )
@@ -58,6 +59,48 @@ def decode_corpus_sharded(
     blocks = jax.device_put(jnp.asarray(blocks), blk_sh)
     states = jax.device_put(jnp.asarray(states, jnp.int32), st_sh)
     return decode_batch(blocks, states, bits=bits)
+
+
+def decode_corpus_sharded_lanes(
+    blocks_t, states, *, bits: int, mesh: Mesh, axis: str = "dp"
+):
+    """Lane-sharded corpus decode: the lane axis (files x channels) splits
+    over the mesh's data-parallel axis with ``shard_map`` — each device runs
+    the fused lane-major pipeline on its own shard, zero communication.
+
+    Args:
+      blocks_t: ``uint8[B, S, L]`` lane-major raw blocks (host-staged).
+      states:   ``int32[L, 2]``.
+
+    Lanes are padded to the axis size; the pad is trimmed before return.
+
+    Returns ``(pcm int16[B, 32, L], end int32[L, 2], valid bool[B, L])``.
+    """
+    n_shard = mesh.shape[axis]
+    B, S, L = blocks_t.shape
+    pad = (-L) % n_shard
+    if pad:
+        blocks_t = np.concatenate(
+            [blocks_t, np.zeros((B, S, pad), np.uint8)], axis=2
+        )
+        states = np.concatenate(
+            [states, np.zeros((pad, 2), np.int32)], axis=0
+        )
+
+    fn = jax.jit(
+        shard_map(
+            partial(decode_batch_lanes.__wrapped__, bits=bits),
+            mesh=mesh,
+            in_specs=(P(None, None, axis), P(axis, None)),
+            out_specs=(P(None, None, axis), P(axis, None), P(None, axis)),
+        )
+    )
+    pcm, end, valid = fn(
+        jnp.asarray(blocks_t), jnp.asarray(states, jnp.int32)
+    )
+    if pad:
+        pcm, end, valid = pcm[:, :, :L], end[:L], valid[:, :L]
+    return pcm, end, valid
 
 
 # --------------------------------------------------------------------------
