@@ -202,12 +202,29 @@ def encode_search_pallas_core(
     )
 
 
+def pick_tiles(L: int, B: int):
+    """Choose (lane_tile, block_tile) for a lane count.
+
+    Wide lane tiles keep the 80-candidate serial sweep fed with enough
+    independent vregs per step (measured on v5e: 8192-lane tiles run the
+    search ~5x faster than 1024-lane tiles); small lane counts use
+    narrower tiles to avoid padding waste.
+    """
+    if L >= 8192:
+        return 8192, min(B, 2)
+    if L >= 4096:
+        return 4096, min(B, 2)
+    if L >= 2048:
+        return 2048, min(B, 4)
+    return 1024, min(B, 4)
+
+
 def encode_search_pallas(pcm, state, *, bits: int, interpret: bool = False):
     """Padding wrapper: accepts any ``[B, 32, L]``; pads lanes with zeros
     and blocks with zero blocks, trims outputs, recovers the end state
     from the last real reconstruction."""
     B, ns, L = pcm.shape
-    lane_tile, block_tile = 1024, 4
+    lane_tile, block_tile = pick_tiles(L, B)
     pad_l = (-L) % lane_tile
     pad_b = (-B) % block_tile
     p = pcm
