@@ -1,0 +1,101 @@
+"""End-to-end corpus decode benchmark: XA files on disk -> WAV files on disk.
+
+Measures the whole engine — header parse, host lane-major staging, device
+transfer, fused-kernel decode, WAV serialization, manifest bookkeeping —
+in files/s and Msamples/s, directly comparable to the reference CLI's
+measured ~77 files/s (stereo 8-bit, 1.32 Msamples/file, one Xeon core;
+BASELINE.md).
+
+Not the driver headline bench; run manually:
+    python benchmarks/bench_corpus.py
+Env: BENCH_FILES (default 64), BENCH_BLOCKS (default 20672 blocks
+~ 0.66 Msamples/channel, the fixture size), BENCH_BITS (default 8).
+"""
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import numpy as np
+
+    from bjxa_tpu.format import XAFormat, dump_xa_header
+    from bjxa_tpu.parallel.corpus import decode_corpus
+
+    bits = int(os.environ.get("BENCH_BITS", "8"))
+    n_files = int(os.environ.get("BENCH_FILES", "64"))
+    nblocks = int(os.environ.get("BENCH_BLOCKS", "20672"))
+    batch_files = int(os.environ.get("BENCH_BATCH_FILES", "8"))
+    channels = 2
+    size = bits * 4 + 1
+
+    rng = np.random.default_rng(7)
+    work = tempfile.mkdtemp(prefix="bjxa-bench-corpus-")
+    src = os.path.join(work, "xa")
+    dst = os.path.join(work, "wav")
+    os.makedirs(src)
+
+    samples = nblocks * 32
+    data_len = nblocks * size * channels
+    hdr = dump_xa_header(
+        XAFormat(
+            data_len=data_len,
+            samples=samples,
+            samples_rate=44100,
+            bits=bits,
+            channels=channels,
+            initial_state=((0, 0), (0, 0)),
+        )
+    )
+    t_gen0 = time.perf_counter()
+    for i in range(n_files):
+        body = rng.integers(
+            0, 256, size=(nblocks, channels, size), dtype=np.uint8
+        )
+        body[:, :, 0] = (
+            rng.integers(0, 5, size=(nblocks, channels)) << 4
+            | rng.integers(0, 13, size=(nblocks, channels))
+        ).astype(np.uint8)
+        with open(os.path.join(src, f"f{i:05d}.xa"), "wb") as f:
+            f.write(hdr)
+            f.write(body.tobytes())
+    gen_s = time.perf_counter() - t_gen0
+
+    # warm the compile cache with one batch-shaped run, then time fresh
+    decode_corpus(src, dst, batch_files=batch_files,
+                  manifest_path=os.path.join(work, "warm.jsonl"))
+    shutil.rmtree(dst)
+
+    t0 = time.perf_counter()
+    res = decode_corpus(
+        src, dst, batch_files=batch_files,
+        manifest_path=os.path.join(work, "timed.jsonl"),
+    )
+    dt = time.perf_counter() - t0
+    assert res.converted == n_files, res
+    total_samples = n_files * samples * channels
+
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_decode_files_per_s",
+                "value": round(n_files / dt, 1),
+                "unit": "files/s",
+                "msamples_per_s": round(total_samples / dt / 1e6, 1),
+                "files": n_files,
+                "samples_per_file": samples * channels,
+                "gen_s": round(gen_s, 1),
+                "vs_baseline": round((n_files / dt) / 77.0, 2),
+            }
+        )
+    )
+    shutil.rmtree(work)
+
+
+if __name__ == "__main__":
+    main()

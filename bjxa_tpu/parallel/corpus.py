@@ -7,6 +7,9 @@ Scales the reference's one-file-at-a-time CLI to directories of files:
 * batches decode through :func:`bjxa_tpu.ops.decode.decode_batch` — on a
   multi-device mesh the file axis is sharded (data parallel, zero
   communication);
+* batches run through a two-stage software pipeline: batch i+1 is staged
+  and dispatched while batch i's PCM is still in flight from the device,
+  overlapping host staging, device compute, and readback;
 * a JSONL manifest makes runs restartable per file (SURVEY §5
   checkpoint/resume); under ``jax.distributed`` each host processes its
   round-robin shard of the corpus (host-local file I/O, device-local
@@ -102,63 +105,80 @@ def decode_corpus(
         groups.setdefault(key, []).append((path, fmt, payload))
 
     # ---- decode each group in device batches ----------------------------
-    for (bits, channels, bucket), items in sorted(groups.items()):
+    # Two-stage software pipeline: batch i+1 is staged and dispatched
+    # (JAX dispatch is asynchronous) before batch i's results are
+    # materialized and written, so host staging, device compute, and
+    # device->host PCM transfer of adjacent batches overlap.
+    def submit(bits, channels, bucket, chunk):
         size = bits * 4 + 1
+        n = len(chunk)
+        # Stage lane-major (uint8[B, S, files*C]): the device consumes
+        # raw bytes at native tiling with zero transposes, and this
+        # slicing is the one numpy copy staging costs in any layout.
+        blocks_t = np.zeros((bucket, size, n * channels), np.uint8)
+        states = np.zeros((n * channels, 2), np.int32)
+        for i, (path, fmt, payload) in enumerate(chunk):
+            raw = np.frombuffer(
+                payload, np.uint8, count=fmt.blocks * fmt.block_size_xa
+            ).reshape(fmt.blocks, channels, size)
+            lanes = slice(i * channels, (i + 1) * channels)
+            blocks_t[: fmt.blocks, :, lanes] = raw.transpose(0, 2, 1)
+            states[lanes] = fmt.initial_state_array()
+
+        if mesh is not None:
+            from bjxa_tpu.parallel.sharded import (
+                decode_corpus_sharded_lanes,
+            )
+
+            pcm, _end, valid = decode_corpus_sharded_lanes(
+                blocks_t, states, bits=bits, mesh=mesh
+            )
+        else:
+            pcm, _end, valid = decode_batch_lanes(
+                blocks_t, states, bits=bits
+            )
+        return channels, bucket, chunk, pcm, valid
+
+    def flush(pending):
+        nonlocal converted
+        channels, bucket, chunk, pcm, valid = pending
+        pcm = np.asarray(pcm)  # [bucket, 32, lanes] (blocks on transfer)
+        valid = np.asarray(valid)  # [bucket, lanes]
+        for i, (path, fmt, payload) in enumerate(chunk):
+            lanes = slice(i * channels, (i + 1) * channels)
+            if not valid[: fmt.blocks, lanes].all():
+                failed[str(path)] = "invalid block profile factor"
+                continue
+            frames = pcm[:, :, lanes].reshape(
+                bucket * BLOCK_SAMPLES, channels
+            )[: fmt.samples]
+            wav = dump_riff_header(
+                fmt.data_len_pcm, fmt.samples_rate, fmt.channels
+            ) + dump_pcm(frames)
+            out_path = out_dir / (path.stem + ".wav")
+            tmp = out_path.with_suffix(".wav.tmp")
+            tmp.write_bytes(wav)
+            tmp.replace(out_path)
+            manifest.record(
+                str(path), out=str(out_path), samples=fmt.samples
+            )
+            converted += 1
+            counters.files += 1
+            counters.blocks += fmt.blocks
+            counters.samples += fmt.samples * fmt.channels
+            counters.bytes_in += fmt.data_len
+            counters.bytes_out += len(wav)
+
+    pending = None
+    for (bits, channels, bucket), items in sorted(groups.items()):
         for start in range(0, len(items), batch_files):
             chunk = items[start : start + batch_files]
-            n = len(chunk)
-            # Stage lane-major (uint8[B, S, files*C]): the device consumes
-            # raw bytes at native tiling with zero transposes, and this
-            # slicing is the one numpy copy staging costs in any layout.
-            blocks_t = np.zeros((bucket, size, n * channels), np.uint8)
-            states = np.zeros((n * channels, 2), np.int32)
-            for i, (path, fmt, payload) in enumerate(chunk):
-                raw = np.frombuffer(
-                    payload, np.uint8, count=fmt.blocks * fmt.block_size_xa
-                ).reshape(fmt.blocks, channels, size)
-                lanes = slice(i * channels, (i + 1) * channels)
-                blocks_t[: fmt.blocks, :, lanes] = raw.transpose(0, 2, 1)
-                states[lanes] = fmt.initial_state_array()
-
-            if mesh is not None:
-                from bjxa_tpu.parallel.sharded import (
-                    decode_corpus_sharded_lanes,
-                )
-
-                pcm, _end, valid = decode_corpus_sharded_lanes(
-                    blocks_t, states, bits=bits, mesh=mesh
-                )
-            else:
-                pcm, _end, valid = decode_batch_lanes(
-                    blocks_t, states, bits=bits
-                )
-            pcm = np.asarray(pcm)  # [bucket, 32, lanes]
-            valid = np.asarray(valid)  # [bucket, lanes]
-
-            for i, (path, fmt, payload) in enumerate(chunk):
-                lanes = slice(i * channels, (i + 1) * channels)
-                if not valid[: fmt.blocks, lanes].all():
-                    failed[str(path)] = "invalid block profile factor"
-                    continue
-                frames = pcm[:, :, lanes].reshape(
-                    bucket * BLOCK_SAMPLES, channels
-                )[: fmt.samples]
-                wav = dump_riff_header(
-                    fmt.data_len_pcm, fmt.samples_rate, fmt.channels
-                ) + dump_pcm(frames)
-                out_path = out_dir / (path.stem + ".wav")
-                tmp = out_path.with_suffix(".wav.tmp")
-                tmp.write_bytes(wav)
-                tmp.replace(out_path)
-                manifest.record(
-                    str(path), out=str(out_path), samples=fmt.samples
-                )
-                converted += 1
-                counters.files += 1
-                counters.blocks += fmt.blocks
-                counters.samples += fmt.samples * fmt.channels
-                counters.bytes_in += fmt.data_len
-                counters.bytes_out += len(wav)
+            inflight = submit(bits, channels, bucket, chunk)
+            if pending is not None:
+                flush(pending)
+            pending = inflight
+    if pending is not None:
+        flush(pending)
 
     return CorpusResult(
         converted=converted,
