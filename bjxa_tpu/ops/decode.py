@@ -235,6 +235,46 @@ def fixpoint_lanes_core(
     return frames, _end_from_frames(frames, b_total), valid, iters
 
 
+def fixpoint_lanes_end_state(
+    blocks_t: jnp.ndarray,
+    state: jnp.ndarray,
+    num_chunks: int,
+    channels: int,
+    *,
+    bits: int,
+    fused: bool,
+):
+    """States-only twin of :func:`fixpoint_lanes_core`: returns just the
+    exact end state ``int32[C, 2]`` after the last block (no sample output
+    materialized).  The chunk grid must end exactly at the stream end
+    (callers pad with valid dummy blocks and account for them).
+    """
+    Bc, S, KC = blocks_t.shape
+    K, C = num_chunks, channels
+    assert KC == K * C, (KC, K, C)
+    anchor = state.astype(jnp.int32)
+
+    if fused:
+        from bjxa_tpu.ops.pallas_decode import fused_decode_padded
+
+        def run(states_flat, with_output):
+            return fused_decode_padded(
+                blocks_t, states_flat, bits=bits, with_output=with_output
+            )
+    else:
+        profiles, samples = inflate_lanes(blocks_t, bits)
+
+        def run(states_flat, with_output):
+            pcm, end, _valid = decode_lanes(
+                profiles, samples, states_flat, with_output=with_output
+            )
+            return pcm, end
+
+    states, _ = _fixpoint_states(run, anchor, K, C, max_iters=K)
+    _, end = run(states.reshape(K * C, 2), False)
+    return end.reshape(K, C, 2)[-1]
+
+
 def fixpoint_core_fused(
     blocks: jnp.ndarray,
     state: jnp.ndarray,

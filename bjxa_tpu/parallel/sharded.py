@@ -8,7 +8,9 @@ block range from a guessed input state, sends its exact end state to the
 right neighbour with ``lax.ppermute``, and the ring iterates until a
 ``psum``-agreed fixed point — at most ``n_devices`` rounds, typically 2-3,
 each round internally running the intra-device chunk fixed point
-(:func:`bjxa_tpu.ops.decode.fixpoint_core`).  The result is bit-exact.
+(:func:`bjxa_tpu.ops.decode.fixpoint_lanes_core`).  The result is
+bit-exact.  All inputs are host-staged lane-major so the device bodies run
+zero byte transposes.
 """
 
 from __future__ import annotations
@@ -22,14 +24,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from bjxa_tpu.ops.decode import (
-    decode_batch,
-    decode_batch_lanes,
-    fixpoint_core,
-    fixpoint_end_state,
-)
-from bjxa_tpu.ops.filter import decode_lanes
-from bjxa_tpu.ops.inflate import inflate_blocks
+from bjxa_tpu.ops.decode import decode_batch, decode_batch_lanes
 from bjxa_tpu.ops.tables import BLOCK_SAMPLES
 
 
@@ -129,11 +124,21 @@ def decode_file_sharded(
     """
     n = mesh.shape[axis]
     C, B, S = blocks.shape
-    grid = n * local_chunks
+    K = local_chunks
+    grid = n * K
     Bp = -(-B // grid) * grid
     if Bp != B:
         pad = np.zeros((C, Bp - B, S), np.uint8)
         blocks = np.concatenate([blocks, pad], axis=1)
+
+    # Host-stage the per-device chunk-lane layout (uint8[n, Bc, S, K*C],
+    # lane l = k*C + c) so no device byte transposes run inside the body.
+    Bc = Bp // grid
+    blocks_lm = np.ascontiguousarray(
+        blocks.reshape(C, n, K, Bc, S).transpose(1, 3, 4, 2, 0)
+    ).reshape(n, Bc, S, K * C)
+
+    from bjxa_tpu.ops.filter import _fused_default
 
     fn = jax.jit(
         shard_map(
@@ -141,14 +146,18 @@ def decode_file_sharded(
                 _sharded_body,
                 bits=bits,
                 axis=axis,
-                local_chunks=local_chunks,
+                local_chunks=K,
+                channels=C,
+                fused=_fused_default(),
             ),
             mesh=mesh,
-            in_specs=(P(None, axis, None), P(None, None)),
+            in_specs=(P(axis, None, None, None), P(None, None)),
             out_specs=(P(axis, None), P(axis, None), P(axis)),
         ),
     )
-    pcm, valid, rounds = fn(jnp.asarray(blocks), jnp.asarray(state, jnp.int32))
+    pcm, valid, rounds = fn(
+        jnp.asarray(blocks_lm), jnp.asarray(state, jnp.int32)
+    )
     return (
         np.asarray(pcm)[: B * BLOCK_SAMPLES],
         np.asarray(valid)[:B],
@@ -156,31 +165,26 @@ def decode_file_sharded(
     )
 
 
-def _sharded_body(blocks_l, state0, *, bits, axis, local_chunks):
+def _sharded_body(blocks_lm, state0, *, bits, axis, local_chunks, channels,
+                  fused):
     """Per-device body: local fixpoint decode + ring boundary fixed point."""
     from bjxa_tpu.ops.decode import (
-        fixpoint_core_fused,
-        fixpoint_end_state_fused,
+        fixpoint_lanes_core,
+        fixpoint_lanes_end_state,
     )
-    from bjxa_tpu.ops.filter import _fused_default
 
+    blocks_t = blocks_lm[0]  # [Bc, S, K*C] — this device's chunk lanes
+    Bc = blocks_t.shape[0]
     n = lax.axis_size(axis)
     idx = lax.axis_index(axis)
-    fused = _fused_default()
-    if not fused:
-        profiles, samples = inflate_blocks(blocks_l, bits)  # [C,Bl], ...
 
     fwd = [(i, (i + 1) % n) for i in range(n)]
 
-    def local_end(my_state):
-        if fused:
-            return fixpoint_end_state_fused(
-                blocks_l, my_state, local_chunks, bits=bits
-            )
-        return fixpoint_end_state(profiles, samples, my_state, local_chunks)
-
     def propagate(my_state):
-        end = local_end(my_state)
+        end = fixpoint_lanes_end_state(
+            blocks_t, my_state, local_chunks, channels, bits=bits,
+            fused=fused,
+        )
         nxt = lax.ppermute(end, axis, perm=fwd)
         return jnp.where(idx == 0, state0, nxt)
 
@@ -200,12 +204,8 @@ def _sharded_body(blocks_l, state0, *, bits, axis, local_chunks):
     first = propagate(init)
     st, _, rounds = lax.while_loop(cond, body, (first, init, jnp.int32(1)))
 
-    if fused:
-        pcm, _end, valid, _iters = fixpoint_core_fused(
-            blocks_l, st, local_chunks, bits=bits
-        )
-    else:
-        pcm, _end, valid, _iters = fixpoint_core(
-            profiles, samples, st, local_chunks
-        )
+    pcm, _end, valid, _iters = fixpoint_lanes_core(
+        blocks_t, st, local_chunks, channels, local_chunks * Bc,
+        bits=bits, fused=fused,
+    )
     return pcm, valid, rounds[None]
