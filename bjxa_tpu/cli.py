@@ -49,6 +49,11 @@ Available actions:
     The default number of bits per sample, when left
     unspecified is 6. --truncate disables the filter
     profile search (reference-compatible output).
+
+  corpus [--batch-files <n>] [--manifest <path>] <xa dir> <wav dir>
+    Decode every *.xa file in a directory to WAV files,
+    batched on the device, restartable via a JSONL
+    manifest (reruns skip already-converted files).
 """
 
 
@@ -247,6 +252,53 @@ def _encode_stream(fin, fout, bits: int, search: bool) -> int:
     return 0
 
 
+def _cmd_corpus(args: list[str], prog: str) -> int:
+    batch_files = 64
+    manifest = None
+    while args and args[0].startswith("--"):
+        if args[0] == "--batch-files":
+            args = args[1:]
+            if not args or not args[0].isdigit() or int(args[0]) < 1:
+                return _fail(prog, "Invalid --batch-files")
+            batch_files = int(args[0])
+            args = args[1:]
+        elif args[0] == "--manifest":
+            args = args[1:]
+            if not args:
+                return _fail(prog, "Missing manifest path")
+            manifest = args[0]
+            args = args[1:]
+        else:
+            return _fail(prog, f"Unknown option {args[0]}")
+    if len(args) != 2:
+        return _fail(prog, "corpus needs an input and an output directory")
+    in_dir, out_dir = args
+    if not os.path.isdir(in_dir):
+        sys.stderr.write(f"corpus: {in_dir}: Not a directory\n")
+        return 1
+
+    from bjxa_tpu.parallel.corpus import decode_corpus
+
+    try:
+        res = decode_corpus(
+            in_dir,
+            out_dir,
+            batch_files=batch_files,
+            manifest_path=manifest,
+        )
+    except (BjxaError, OSError) as e:
+        _perror("corpus", e)
+        return 1
+    for path, why in sorted(res.failed.items()):
+        sys.stderr.write(f"corpus: {path}: {why}\n")
+    sys.stdout.write(
+        f"converted {res.converted} skipped {res.skipped}"
+        f" failed {len(res.failed)}"
+        f" samples {res.counters.samples}\n"
+    )
+    return 1 if res.failed else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv if argv is None else argv)
     prog = argv[0] if argv else "bjxa"
@@ -262,6 +314,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_decode(rest, prog)
     if action == "encode":
         return _cmd_encode(rest, prog)
+    if action == "corpus":
+        return _cmd_corpus(rest, prog)
     return _fail(prog, "Unknown action")
 
 

@@ -244,3 +244,50 @@ def test_decode_invalid_profile(mode):
     assert code == 1
     assert "bjxa_decode" in err
     assert out[:4] == b"RIFF"
+
+
+# -- corpus action ------------------------------------------------------------
+
+
+def test_corpus_action(tmp_path, fixture_dir):
+    src = tmp_path / "xa"
+    out = tmp_path / "wav"
+    src.mkdir()
+    for name in ("square-stereo-8", "square-mono-6"):
+        (src / f"{name}.xa").write_bytes(
+            (fixture_dir / f"{name}.xa").read_bytes()
+        )
+    code, stdout, err = run_cli(["corpus", str(src), str(out)])
+    assert code == 0, err
+    assert b"converted 2" in stdout
+    wav = (out / "square-stereo-8.wav").read_bytes()
+    assert sha1(wav) == STEREO8_WAV_SHA1
+    # rerun skips through the manifest
+    code, stdout, _ = run_cli(["corpus", str(src), str(out)])
+    assert code == 0
+    assert b"skipped 2" in stdout
+
+
+def test_corpus_action_bad_args(tmp_path):
+    code, _, err = run_cli(["corpus", str(tmp_path)])
+    assert code == 1
+    code, _, err = run_cli(["corpus", "--batch-files", "x", "a", "b"])
+    assert code == 1
+    code, _, err = run_cli(["corpus", str(tmp_path / "nope"), str(tmp_path)])
+    assert code == 1
+    assert "Not a directory" in err
+
+
+def test_corpus_action_reports_failures(tmp_path, fixture_dir):
+    src = tmp_path / "xa"
+    out = tmp_path / "wav"
+    src.mkdir()
+    (src / "good.xa").write_bytes(
+        (fixture_dir / "square-mono-4.xa").read_bytes()
+    )
+    (src / "bad.xa").write_bytes(b"JUNK" + bytes(60))
+    code, stdout, err = run_cli(["corpus", str(src), str(out)])
+    assert code == 1
+    assert "bad.xa" in err
+    assert b"converted 1" in stdout
+    assert (out / "good.wav").exists()
