@@ -54,6 +54,8 @@ Available actions:
     Decode every *.xa file in a directory to WAV files,
     batched on the device, restartable via a JSONL
     manifest (reruns skip already-converted files).
+    With --encode (plus optional --bits/--truncate) the
+    direction reverses: every *.wav encodes to XA.
 """
 
 
@@ -255,6 +257,9 @@ def _encode_stream(fin, fout, bits: int, search: bool) -> int:
 def _cmd_corpus(args: list[str], prog: str) -> int:
     batch_files = 64
     manifest = None
+    encode = False
+    bits = 6
+    search = True
     while args and args[0].startswith("--"):
         if args[0] == "--batch-files":
             args = args[1:]
@@ -268,6 +273,18 @@ def _cmd_corpus(args: list[str], prog: str) -> int:
                 return _fail(prog, "Missing manifest path")
             manifest = args[0]
             args = args[1:]
+        elif args[0] == "--encode":
+            encode = True
+            args = args[1:]
+        elif args[0] == "--bits":
+            args = args[1:]
+            if not args or args[0] not in ("4", "6", "8"):
+                return _fail(prog, "Invalid number of bits per sample")
+            bits = int(args[0])
+            args = args[1:]
+        elif args[0] == "--truncate":
+            search = False
+            args = args[1:]
         else:
             return _fail(prog, f"Unknown option {args[0]}")
     if len(args) != 2:
@@ -277,15 +294,25 @@ def _cmd_corpus(args: list[str], prog: str) -> int:
         sys.stderr.write(f"corpus: {in_dir}: Not a directory\n")
         return 1
 
-    from bjxa_tpu.parallel.corpus import decode_corpus
+    from bjxa_tpu.parallel.corpus import decode_corpus, encode_corpus
 
     try:
-        res = decode_corpus(
-            in_dir,
-            out_dir,
-            batch_files=batch_files,
-            manifest_path=manifest,
-        )
+        if encode:
+            res = encode_corpus(
+                in_dir,
+                out_dir,
+                bits=bits,
+                search=search,
+                batch_files=batch_files,
+                manifest_path=manifest,
+            )
+        else:
+            res = decode_corpus(
+                in_dir,
+                out_dir,
+                batch_files=batch_files,
+                manifest_path=manifest,
+            )
     except (BjxaError, OSError) as e:
         _perror("corpus", e)
         return 1

@@ -186,3 +186,151 @@ def decode_corpus(
         failed=failed,
         counters=counters,
     )
+
+
+def encode_corpus(
+    inputs,
+    out_dir: str | pathlib.Path,
+    *,
+    bits: int = 6,
+    search: bool = True,
+    batch_files: int = 64,
+    bucket_granularity: int = 256,
+    manifest_path: str | pathlib.Path | None = None,
+    process_index: int = 0,
+    process_count: int = 1,
+) -> CorpusResult:
+    """Encode every WAV file in ``inputs`` to XA files in ``out_dir``.
+
+    The encoder analog of :func:`decode_corpus`: files group by
+    (channels, block-count bucket), each batch runs the 80-profile search
+    (or reference-compatible truncation) as one device program over
+    ``files x channels`` lanes, and batches pipeline against host staging
+    and packing.  Output bytes are identical to per-file
+    :func:`bjxa_tpu.api.encode_pcm` — lanes never interact.
+    """
+    import jax.numpy as jnp
+
+    from bjxa_tpu.format import (
+        RIFF_HEADER_SIZE,
+        dump_xa_header,
+        load_pcm,
+        parse_riff_header,
+    )
+    from bjxa_tpu.format.xa import XAFormat
+    from bjxa_tpu.ops.deflate import deflate_blocks
+    from bjxa_tpu.ops.encode import encode_search, encode_truncate
+
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if isinstance(inputs, (str, pathlib.Path)) and pathlib.Path(inputs).is_dir():
+        paths = sorted(pathlib.Path(inputs).glob("*.wav"))
+    else:
+        paths = [pathlib.Path(p) for p in inputs]
+    paths = paths[process_index::process_count]
+
+    manifest = Manifest(
+        manifest_path
+        if manifest_path is not None
+        else out_dir / f".bjxa-encode-manifest-{process_index}.jsonl"
+    )
+
+    counters = Counters()
+    failed: dict[str, str] = {}
+    skipped = 0
+    converted = 0
+
+    groups: dict[tuple, list] = {}
+    for path in paths:
+        if manifest.is_done(str(path)):
+            skipped += 1
+            continue
+        try:
+            data = path.read_bytes()
+            rf = parse_riff_header(data)
+            body = memoryview(data)[RIFF_HEADER_SIZE:]
+            if len(body) < rf.data_len_pcm:
+                raise BjxaError("truncated PCM payload")
+            pcm = load_pcm(body[: rf.data_len_pcm], rf.channels)
+        except (BjxaError, OSError) as e:
+            failed[str(path)] = str(e)
+            continue
+        nblocks = -(-pcm.shape[0] // BLOCK_SAMPLES)
+        key = (rf.channels, _bucket(nblocks, bucket_granularity))
+        groups.setdefault(key, []).append((path, rf, pcm))
+
+    def submit(channels, bucket, chunk):
+        n = len(chunk)
+        lanes = np.zeros(
+            (bucket, BLOCK_SAMPLES, n * channels), np.int16
+        )
+        frames = lanes.reshape(bucket * BLOCK_SAMPLES, n * channels)
+        for i, (path, rf, pcm) in enumerate(chunk):
+            ln = slice(i * channels, (i + 1) * channels)
+            frames[: pcm.shape[0], ln] = pcm
+        lanes_d = jnp.asarray(lanes)
+        if search:
+            profiles, coded, _recon, _end = encode_search(
+                lanes_d,
+                jnp.zeros((n * channels, 2), jnp.int32),
+                bits=bits,
+            )
+        else:
+            profiles, coded = encode_truncate(lanes_d)
+        # [B, 32, L] -> [B, L, 32] so packed bytes land channel-major
+        # within each effective block (the file layout)
+        blocks = deflate_blocks(
+            profiles, coded.transpose(0, 2, 1), bits
+        )  # uint8[B, L, S]
+        return channels, chunk, blocks
+
+    def flush(pending):
+        nonlocal converted
+        channels, chunk, blocks = pending
+        blocks = np.asarray(blocks)  # [bucket, lanes, S]
+        for i, (path, rf, pcm) in enumerate(chunk):
+            ln = slice(i * channels, (i + 1) * channels)
+            nblocks = -(-pcm.shape[0] // BLOCK_SAMPLES)
+            payload = np.ascontiguousarray(
+                blocks[:nblocks, ln]
+            ).tobytes()
+            fmt = XAFormat(
+                data_len=len(payload),
+                samples=pcm.shape[0],
+                samples_rate=rf.samples_rate,
+                bits=bits,
+                channels=channels,
+                initial_state=((0, 0), (0, 0)),
+            )
+            xa = dump_xa_header(fmt) + payload
+            out_path = out_dir / (path.stem + ".xa")
+            tmp = out_path.with_suffix(".xa.tmp")
+            tmp.write_bytes(xa)
+            tmp.replace(out_path)
+            manifest.record(
+                str(path), out=str(out_path), samples=pcm.shape[0]
+            )
+            converted += 1
+            counters.files += 1
+            counters.blocks += nblocks
+            counters.samples += pcm.shape[0] * channels
+            counters.bytes_in += rf.data_len_pcm
+            counters.bytes_out += len(xa)
+
+    pending = None
+    for (channels, bucket), items in sorted(groups.items()):
+        for start in range(0, len(items), batch_files):
+            chunk = items[start : start + batch_files]
+            inflight = submit(channels, bucket, chunk)
+            if pending is not None:
+                flush(pending)
+            pending = inflight
+    if pending is not None:
+        flush(pending)
+
+    return CorpusResult(
+        converted=converted,
+        skipped=skipped,
+        failed=failed,
+        counters=counters,
+    )

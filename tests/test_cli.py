@@ -291,3 +291,25 @@ def test_corpus_action_reports_failures(tmp_path, fixture_dir):
     assert "bad.xa" in err
     assert b"converted 1" in stdout
     assert (out / "good.wav").exists()
+
+
+def test_corpus_encode_action(tmp_path, fixture_dir):
+    src = tmp_path / "wav"
+    out = tmp_path / "xa"
+    src.mkdir()
+    # decode a fixture to get a real WAV, then corpus-encode it back
+    code, wav, _ = run_cli(
+        ["decode"], stdin=(fixture_dir / "square-mono-6.xa").read_bytes()
+    )
+    assert code == 0
+    (src / "sq.wav").write_bytes(wav)
+    code, stdout, err = run_cli(
+        ["corpus", "--encode", "--bits", "6", str(src), str(out)]
+    )
+    assert code == 0, err
+    assert b"converted 1" in stdout
+    assert (out / "sq.xa").read_bytes()[:4] == b"KWD1"
+    code, _, _ = run_cli(
+        ["corpus", "--encode", "--bits", "5", str(src), str(out)]
+    )
+    assert code == 1

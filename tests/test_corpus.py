@@ -106,3 +106,89 @@ def test_corpus_on_mesh(tmp_path, corpus):
     assert res.converted == len(expect)
     for stem, wav in expect.items():
         assert (out / f"{stem}.wav").read_bytes() == wav
+
+
+# -- encode corpus ------------------------------------------------------------
+
+
+def _write_wav(path, pcm, rate=44100):
+    from bjxa_tpu.format import dump_pcm, dump_riff_header
+
+    pcm = np.asarray(pcm, np.int16)
+    path.write_bytes(
+        dump_riff_header(pcm.size * 2, rate, pcm.shape[1]) + dump_pcm(pcm)
+    )
+
+
+@pytest.mark.parametrize("search", (True, False))
+def test_encode_corpus_matches_per_file(tmp_path, search):
+    """Batched corpus encode produces byte-identical XA to per-file
+    encode_pcm — lanes must not interact."""
+    from bjxa_tpu.api import encode_pcm
+    from bjxa_tpu.parallel.corpus import encode_corpus
+
+    rng = np.random.default_rng(21)
+    src = tmp_path / "wav"
+    out = tmp_path / "xa"
+    src.mkdir()
+    cases = {}
+    for i, (channels, samples) in enumerate(
+        [(1, 333), (2, 333), (2, 64), (1, 512)]
+    ):
+        pcm = rng.integers(-32768, 32768, size=(samples, channels)).astype(
+            np.int16
+        )
+        _write_wav(src / f"f{i}.wav", pcm)
+        cases[f"f{i}"] = pcm
+
+    res = encode_corpus(
+        src, out, bits=6, search=search, bucket_granularity=4
+    )
+    assert res.converted == len(cases), res.failed
+    for name, pcm in cases.items():
+        want = encode_pcm(pcm, 44100, 6, search=search)
+        got = (out / f"{name}.xa").read_bytes()
+        assert got == want, name
+
+    # resume: rerun skips everything
+    res2 = encode_corpus(src, out, bits=6, search=search,
+                         bucket_granularity=4)
+    assert res2.converted == 0 and res2.skipped == len(cases)
+
+
+def test_encode_corpus_roundtrip(tmp_path):
+    """Corpus encode -> corpus decode round-trips with bounded error."""
+    from bjxa_tpu.parallel.corpus import decode_corpus, encode_corpus
+    from bjxa_tpu.format import load_pcm
+    from bjxa_tpu.format.riff import RIFF_HEADER_SIZE
+
+    rng = np.random.default_rng(22)
+    t = np.arange(2000)
+    pcm = (
+        10000 * np.sin(t / 20)[:, None] + rng.normal(0, 200, (2000, 1))
+    ).astype(np.int16)
+    src = tmp_path / "wav"
+    mid = tmp_path / "xa"
+    back = tmp_path / "wav2"
+    src.mkdir()
+    _write_wav(src / "tone.wav", pcm)
+
+    assert encode_corpus(src, mid, bits=8).converted == 1
+    assert decode_corpus(mid, back).converted == 1
+    data = (back / "tone.wav").read_bytes()
+    got = load_pcm(data[RIFF_HEADER_SIZE:], 1).astype(np.float64)
+    ref = pcm.astype(np.float64)
+    snr = 10 * np.log10((ref**2).sum() / ((ref - got) ** 2).sum())
+    assert snr > 40, snr
+
+
+def test_encode_corpus_reports_bad_wav(tmp_path):
+    from bjxa_tpu.parallel.corpus import encode_corpus
+
+    src = tmp_path / "wav"
+    src.mkdir()
+    (src / "junk.wav").write_bytes(b"not a wav")
+    _write_wav(src / "ok.wav", np.zeros((64, 2), np.int16))
+    res = encode_corpus(src, tmp_path / "xa")
+    assert res.converted == 1
+    assert "junk.wav" in next(iter(res.failed))
