@@ -531,6 +531,23 @@ def blocks_from_bytes(data: bytes | memoryview, fmt: XAFormat) -> np.ndarray:
     )
 
 
+def pad_bucket(nblocks: int, granularity: int = 256) -> int:
+    """Round a block count up to a compile-cache-friendly bucket.
+
+    Distinct padded shapes each cost a full XLA/Mosaic compile (minutes for
+    large programs through a remote-compile service), so buckets grow
+    geometrically: round up to a 4-bit mantissa times a power of two
+    (<= 1/8 pad waste — and pad blocks are profile-0 dummies, nearly free
+    to decode), then to the linear ``granularity``.  For small counts this
+    coincides with plain ``granularity`` rounding; a corpus of arbitrary
+    file lengths compiles O(log) programs instead of O(lengths).
+    """
+    B = nblocks
+    e = max(0, B.bit_length() - 4)
+    Bp = (-(-B >> e)) << e
+    return -(-Bp // granularity) * granularity
+
+
 def chunk_lanes_from_bytes(
     payload: bytes | memoryview,
     fmt: XAFormat,
@@ -599,7 +616,7 @@ def decode_bytes(
     B = fmt.blocks
     # Bucket the block count so files of similar length share one compiled
     # program (dummy profile-0 blocks pad the tail and are trimmed).
-    Bp = -(-B // 256) * 256 if B > 64 else B
+    Bp = B if B <= 64 else pad_bucket(B)
     target_lanes = 8192
     num_chunks = min(
         max_chunks,

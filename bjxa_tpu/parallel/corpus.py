@@ -30,15 +30,10 @@ from bjxa_tpu.format import (
     dump_riff_header,
     parse_xa_header,
 )
-from bjxa_tpu.ops.decode import decode_batch_lanes
+from bjxa_tpu.ops.decode import decode_batch_lanes, pad_bucket as _bucket
 from bjxa_tpu.ops.tables import BLOCK_SAMPLES
 from bjxa_tpu.utils.profiler import Counters
 from bjxa_tpu.utils.progress import Manifest
-
-
-def _bucket(nblocks: int, granularity: int = 256) -> int:
-    """Round a block count up to the padding bucket."""
-    return -(-nblocks // granularity) * granularity
 
 
 @dataclasses.dataclass

@@ -45,3 +45,25 @@ def test_profiler_annotation_noop():
     with prof.trace():
         with prof.annotate("region"):
             pass
+
+
+def test_pad_bucket_geometric():
+    from bjxa_tpu.ops.decode import pad_bucket
+
+    # small counts: plain granularity rounding
+    assert pad_bucket(20, 16) == 32
+    assert pad_bucket(300) == 512
+    assert pad_bucket(256) == 256
+    # large counts: 4-bit mantissa, <= 1/8 waste, granularity-aligned
+    for b in (5000, 99_000, 100_000, 1_000_000):
+        p = pad_bucket(b)
+        assert p >= b and p % 256 == 0
+        assert p <= b * 1.25 + 256
+    # nearby large lengths share one bucket (one compile)
+    assert pad_bucket(99_000) == pad_bucket(100_000)
+    # monotone
+    prev = 0
+    for b in range(1, 3000, 7):
+        cur = pad_bucket(b)
+        assert cur >= prev
+        prev = cur
