@@ -307,71 +307,6 @@ def fixpoint_core_fused(
     )
 
 
-def fixpoint_end_state(
-    profiles: jnp.ndarray,
-    samples: jnp.ndarray,
-    state: jnp.ndarray,
-    num_chunks: int,
-):
-    """States-only variant of :func:`fixpoint_core`: returns just the exact
-    end state ``int32[C, 2]`` (no sample output materialized).  Requires the
-    block count to divide ``num_chunks`` so the last chunk ends exactly at
-    the stream end.  Used by the device-sharded decoder's propagation loop.
-    """
-    C, B = profiles.shape
-    K = num_chunks
-    assert B % K == 0, "fixpoint_end_state: pad blocks to the chunk grid"
-    Bc = B // K
-
-    prof_l = profiles.reshape(C, K, Bc).transpose(2, 1, 0).reshape(Bc, K * C)
-    samp_l = (
-        samples.reshape(C, K, Bc, BLOCK_SAMPLES)
-        .transpose(2, 3, 1, 0)
-        .reshape(Bc, BLOCK_SAMPLES, K * C)
-    )
-    anchor = state.astype(jnp.int32)
-
-    def run(states_flat, with_output):
-        pcm, end, _valid = decode_lanes(
-            prof_l, samp_l, states_flat, with_output=with_output
-        )
-        return pcm, end
-
-    states, _ = _fixpoint_states(run, anchor, K, C, max_iters=K)
-    _, end = run(states.reshape(K * C, 2), False)
-    return end.reshape(K, C, 2)[-1]
-
-
-def fixpoint_end_state_fused(
-    blocks: jnp.ndarray,
-    state: jnp.ndarray,
-    num_chunks: int,
-    *,
-    bits: int,
-):
-    """Fused-kernel twin of :func:`fixpoint_end_state` on raw bytes
-    (``uint8[C, B, block_size]``, B divisible by num_chunks)."""
-    from bjxa_tpu.ops.pallas_decode import fused_decode_padded
-
-    C, B, S = blocks.shape
-    K = num_chunks
-    assert B % K == 0
-    Bc = B // K
-    blocks_t = (
-        blocks.reshape(C, K, Bc, S).transpose(2, 3, 1, 0).reshape(Bc, S, K * C)
-    )
-    anchor = state.astype(jnp.int32)
-
-    def run(states_flat, with_output):
-        return fused_decode_padded(
-            blocks_t, states_flat, bits=bits, with_output=with_output
-        )
-
-    states, _ = _fixpoint_states(run, anchor, K, C, max_iters=K)
-    _, end = run(states.reshape(K * C, 2), False)
-    return end.reshape(K, C, 2)[-1]
-
-
 @partial(jax.jit, static_argnames=("bits", "num_chunks"))
 def decode_arrays_fixpoint(
     blocks: jnp.ndarray,
@@ -381,6 +316,10 @@ def decode_arrays_fixpoint(
     num_chunks: int,
 ):
     """Exact chunk-parallel decode of one file via fixed-point iteration.
+
+    Channel-major convenience over :func:`fixpoint_lanes_core` /
+    :func:`fixpoint_core` (hosts that can stage lane-major should call
+    :func:`decode_fixpoint_lanes` instead — it avoids device transposes).
 
     Args:
       blocks: ``uint8[C, B, block_size]``; B need not divide num_chunks.
@@ -395,55 +334,6 @@ def decode_arrays_fixpoint(
         return fixpoint_core_fused(blocks, state, num_chunks, bits=bits)
     profiles, samples = inflate_blocks(blocks, bits)  # [C,B], [C,B,32]
     return fixpoint_core(profiles, samples, state, num_chunks)
-
-
-# --------------------------------------------------------------------------
-# many equal-shape channel streams (lanes = N x C)
-# --------------------------------------------------------------------------
-
-
-@partial(jax.jit, static_argnames=("bits",))
-def decode_batch(blocks: jnp.ndarray, state: jnp.ndarray, *, bits: int):
-    """Decode a batch of equal-shape files; lanes = files x channels.
-
-    Args:
-      blocks: ``uint8[N, C, B, block_size]``.
-      state:  ``int32[N, C, 2]``.
-
-    Returns ``(pcm int16[N, B*32, C], end_state int32[N, C, 2],
-    valid bool[B, N, C])``.
-
-    On TPU backends the fused Pallas kernel consumes the raw bytes
-    directly (one cheap uint8 layout transpose, no unpacked intermediate);
-    elsewhere the XLA unpack + scan pipeline runs.
-    """
-    from bjxa_tpu.ops.filter import _fused_default
-
-    N, C, B, S = blocks.shape
-    if _fused_default():
-        from bjxa_tpu.ops.pallas_decode import fused_decode_padded
-
-        blocks_t = blocks.transpose(2, 3, 0, 1).reshape(B, S, N * C)
-        pcm, end_state = fused_decode_padded(
-            blocks_t, state.reshape(N * C, 2), bits=bits
-        )
-        valid = ((blocks[..., 0] >> 4) < 5).transpose(2, 0, 1)  # [B, N, C]
-    else:
-        profiles, samples = inflate_blocks(blocks, bits)
-        prof_l = profiles.transpose(2, 0, 1).reshape(B, N * C)
-        samp_l = samples.transpose(2, 3, 0, 1).reshape(
-            B, BLOCK_SAMPLES, N * C
-        )
-        pcm, end_state, valid_l = decode_lanes(
-            prof_l, samp_l, state.reshape(N * C, 2)
-        )
-        valid = valid_l.reshape(B, N, C)
-    frames = (
-        pcm.reshape(B, BLOCK_SAMPLES, N, C)
-        .transpose(2, 0, 1, 3)
-        .reshape(N, B * BLOCK_SAMPLES, C)
-    )
-    return frames, end_state.reshape(N, C, 2), valid
 
 
 @partial(
@@ -481,6 +371,41 @@ def decode_fixpoint_lanes(
         bits=bits,
         fused=_fused_default(),
     )
+
+
+# --------------------------------------------------------------------------
+# many equal-shape channel streams (lanes = N x C)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def decode_batch(blocks: jnp.ndarray, state: jnp.ndarray, *, bits: int):
+    """Decode a batch of equal-shape files; lanes = files x channels.
+
+    Channel-major convenience (hosts that can stage lane-major should call
+    :func:`decode_batch_lanes` — it avoids the int16 device transposes).
+
+    Args:
+      blocks: ``uint8[N, C, B, block_size]``.
+      state:  ``int32[N, C, 2]``.
+
+    Returns ``(pcm int16[N, B*32, C], end_state int32[N, C, 2],
+    valid bool[B, N, C])``.
+    """
+    N, C, B, S = blocks.shape
+    profiles, samples = inflate_blocks(blocks, bits)
+    prof_l = profiles.transpose(2, 0, 1).reshape(B, N * C)
+    samp_l = samples.transpose(2, 3, 0, 1).reshape(B, BLOCK_SAMPLES, N * C)
+    pcm, end_state, valid_l = decode_lanes(
+        prof_l, samp_l, state.reshape(N * C, 2)
+    )
+    valid = valid_l.reshape(B, N, C)
+    frames = (
+        pcm.reshape(B, BLOCK_SAMPLES, N, C)
+        .transpose(2, 0, 1, 3)
+        .reshape(N, B * BLOCK_SAMPLES, C)
+    )
+    return frames, end_state.reshape(N, C, 2), valid
 
 
 @partial(jax.jit, static_argnames=("bits",))
