@@ -260,6 +260,7 @@ def _cmd_corpus(args: list[str], prog: str) -> int:
     encode = False
     bits = 6
     search = True
+    saw_encode_opts = False
     while args and args[0].startswith("--"):
         if args[0] == "--batch-files":
             args = args[1:]
@@ -281,12 +282,16 @@ def _cmd_corpus(args: list[str], prog: str) -> int:
             if not args or args[0] not in ("4", "6", "8"):
                 return _fail(prog, "Invalid number of bits per sample")
             bits = int(args[0])
+            saw_encode_opts = True
             args = args[1:]
         elif args[0] == "--truncate":
             search = False
+            saw_encode_opts = True
             args = args[1:]
         else:
             return _fail(prog, f"Unknown option {args[0]}")
+    if saw_encode_opts and not encode:
+        return _fail(prog, "--bits/--truncate require --encode")
     if len(args) != 2:
         return _fail(prog, "corpus needs an input and an output directory")
     in_dir, out_dir = args

@@ -176,6 +176,29 @@ def fixpoint_core(
     return frames, _end_from_frames(frames, B), valid, iters
 
 
+def _lanes_run(blocks_t: jnp.ndarray, bits: int, fused: bool):
+    """Build the ``run(states_flat, with_output) -> (pcm, end)`` closure
+    over lane-major raw blocks: the fused Pallas kernel (TPU) or the XLA
+    lane-major unpack + scan pipeline (any backend)."""
+    if fused:
+        from bjxa_tpu.ops.pallas_decode import fused_decode_padded
+
+        def run(states_flat, with_output):
+            return fused_decode_padded(
+                blocks_t, states_flat, bits=bits, with_output=with_output
+            )
+    else:
+        profiles, samples = inflate_lanes(blocks_t, bits)
+
+        def run(states_flat, with_output):
+            pcm, end, _valid = decode_lanes(
+                profiles, samples, states_flat, with_output=with_output
+            )
+            return pcm, end
+
+    return run
+
+
 def fixpoint_lanes_core(
     blocks_t: jnp.ndarray,
     state: jnp.ndarray,
@@ -206,23 +229,7 @@ def fixpoint_lanes_core(
     K, C = num_chunks, channels
     assert KC == K * C, (KC, K, C)
     anchor = state.astype(jnp.int32)
-
-    if fused:
-        from bjxa_tpu.ops.pallas_decode import fused_decode_padded
-
-        def run(states_flat, with_output):
-            return fused_decode_padded(
-                blocks_t, states_flat, bits=bits, with_output=with_output
-            )
-    else:
-        profiles, samples = inflate_lanes(blocks_t, bits)
-
-        def run(states_flat, with_output):
-            pcm, end, _valid = decode_lanes(
-                profiles, samples, states_flat, with_output=with_output
-            )
-            return pcm, end
-
+    run = _lanes_run(blocks_t, bits, fused)
     states, iters = _fixpoint_states(run, anchor, K, C, max_iters=K)
     pcm_l, _ = run(states.reshape(K * C, 2), True)
     frames = _unscramble_chunks(pcm_l, b_total, K, C)
@@ -253,23 +260,7 @@ def fixpoint_lanes_end_state(
     K, C = num_chunks, channels
     assert KC == K * C, (KC, K, C)
     anchor = state.astype(jnp.int32)
-
-    if fused:
-        from bjxa_tpu.ops.pallas_decode import fused_decode_padded
-
-        def run(states_flat, with_output):
-            return fused_decode_padded(
-                blocks_t, states_flat, bits=bits, with_output=with_output
-            )
-    else:
-        profiles, samples = inflate_lanes(blocks_t, bits)
-
-        def run(states_flat, with_output):
-            pcm, end, _valid = decode_lanes(
-                profiles, samples, states_flat, with_output=with_output
-            )
-            return pcm, end
-
+    run = _lanes_run(blocks_t, bits, fused)
     states, _ = _fixpoint_states(run, anchor, K, C, max_iters=K)
     _, end = run(states.reshape(K * C, 2), False)
     return end.reshape(K, C, 2)[-1]

@@ -36,6 +36,27 @@ from bjxa_tpu.utils.profiler import Counters
 from bjxa_tpu.utils.progress import Manifest
 
 
+
+def _run_pipelined(groups, batch_files, submit, flush):
+    """Two-stage software pipeline over grouped batches.
+
+    Invariant: submit(next batch) happens BEFORE flush(previous batch) so
+    host staging + async device dispatch of batch i+1 overlap batch i's
+    device compute and readback (JAX dispatch is asynchronous; flush's
+    np.asarray blocks on the transfer).
+    """
+    pending = None
+    for key, items in sorted(groups.items()):
+        for start in range(0, len(items), batch_files):
+            chunk = items[start : start + batch_files]
+            inflight = submit(*key, chunk)
+            if pending is not None:
+                flush(pending)
+            pending = inflight
+    if pending is not None:
+        flush(pending)
+
+
 @dataclasses.dataclass
 class CorpusResult:
     converted: int
@@ -164,16 +185,7 @@ def decode_corpus(
             counters.bytes_in += fmt.data_len
             counters.bytes_out += len(wav)
 
-    pending = None
-    for (bits, channels, bucket), items in sorted(groups.items()):
-        for start in range(0, len(items), batch_files):
-            chunk = items[start : start + batch_files]
-            inflight = submit(bits, channels, bucket, chunk)
-            if pending is not None:
-                flush(pending)
-            pending = inflight
-    if pending is not None:
-        flush(pending)
+    _run_pipelined(groups, batch_files, submit, flush)
 
     return CorpusResult(
         converted=converted,
@@ -312,16 +324,7 @@ def encode_corpus(
             counters.bytes_in += rf.data_len_pcm
             counters.bytes_out += len(xa)
 
-    pending = None
-    for (channels, bucket), items in sorted(groups.items()):
-        for start in range(0, len(items), batch_files):
-            chunk = items[start : start + batch_files]
-            inflight = submit(channels, bucket, chunk)
-            if pending is not None:
-                flush(pending)
-            pending = inflight
-    if pending is not None:
-        flush(pending)
+    _run_pipelined(groups, batch_files, submit, flush)
 
     return CorpusResult(
         converted=converted,

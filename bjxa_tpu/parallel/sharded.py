@@ -15,6 +15,7 @@ zero byte transposes.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -56,6 +57,24 @@ def decode_corpus_sharded(
     return decode_batch(blocks, states, bits=bits)
 
 
+@functools.lru_cache(maxsize=None)
+def _corpus_lanes_fn(mesh: Mesh, axis: str, bits: int):
+    """Cached jitted shard_map for the lane-sharded corpus decode (a fresh
+    wrapper per call would re-trace and re-compile once per batch).
+    ``check_vma=False``: the body contains a pallas_call, whose out_shape
+    carries no varying-manifest annotation — and the lane computation is
+    embarrassingly parallel, so there is no replication to check."""
+    return jax.jit(
+        shard_map(
+            partial(decode_batch_lanes.__wrapped__, bits=bits),
+            mesh=mesh,
+            in_specs=(P(None, None, axis), P(axis, None)),
+            out_specs=(P(None, None, axis), P(axis, None), P(None, axis)),
+            check_vma=False,
+        )
+    )
+
+
 def decode_corpus_sharded_lanes(
     blocks_t, states, *, bits: int, mesh: Mesh, axis: str = "dp"
 ):
@@ -82,14 +101,7 @@ def decode_corpus_sharded_lanes(
             [states, np.zeros((pad, 2), np.int32)], axis=0
         )
 
-    fn = jax.jit(
-        shard_map(
-            partial(decode_batch_lanes.__wrapped__, bits=bits),
-            mesh=mesh,
-            in_specs=(P(None, None, axis), P(axis, None)),
-            out_specs=(P(None, None, axis), P(axis, None), P(None, axis)),
-        )
-    )
+    fn = _corpus_lanes_fn(mesh, axis, bits)
     pcm, end, valid = fn(
         jnp.asarray(blocks_t), jnp.asarray(states, jnp.int32)
     )
@@ -153,6 +165,7 @@ def decode_file_sharded(
             mesh=mesh,
             in_specs=(P(axis, None, None, None), P(None, None)),
             out_specs=(P(axis, None), P(axis, None), P(axis)),
+            check_vma=False,  # body holds a pallas_call (no vma out_shape)
         ),
     )
     pcm, valid, rounds = fn(

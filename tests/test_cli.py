@@ -313,3 +313,10 @@ def test_corpus_encode_action(tmp_path, fixture_dir):
         ["corpus", "--encode", "--bits", "5", str(src), str(out)]
     )
     assert code == 1
+
+
+def test_corpus_decode_rejects_encode_flags(tmp_path):
+    code, _, err = run_cli(["corpus", "--bits", "4", str(tmp_path), str(tmp_path)])
+    assert code == 1 and "require --encode" in err
+    code, _, err = run_cli(["corpus", "--truncate", str(tmp_path), str(tmp_path)])
+    assert code == 1 and "require --encode" in err
