@@ -331,10 +331,39 @@ def _cmd_corpus(args: list[str], prog: str) -> int:
     return 1 if res.failed else 0
 
 
+def _enable_compile_cache() -> None:
+    """Persist XLA compilations across CLI invocations.
+
+    Large decode/encode programs cost seconds-to-minutes to compile
+    (ops/decode.pad_bucket bounds how many shapes exist); caching them on
+    disk makes every shape a once-ever cost instead of once-per-process.
+    ``BJXA_COMPILE_CACHE`` overrides the directory; ``0`` disables.
+    """
+    loc = os.environ.get("BJXA_COMPILE_CACHE")
+    if loc in ("0", "off", "false"):
+        return
+    if not loc:
+        loc = os.path.join(
+            os.environ.get(
+                "XDG_CACHE_HOME", os.path.expanduser("~/.cache")
+            ),
+            "bjxa-tpu",
+            "jax",
+        )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv if argv is None else argv)
     prog = argv[0] if argv else "bjxa"
     args = argv[1:]
+    _enable_compile_cache()
 
     if not args:
         return _fail(prog, "Missing an action")
