@@ -33,7 +33,10 @@ def main() -> None:
     import jax.numpy as jnp
     from jax import lax, random
 
+    from bjxa_tpu.cli import _enable_compile_cache
     from bjxa_tpu.ops.decode import decode_batch_lanes
+
+    _enable_compile_cache()
 
     bits = int(os.environ.get("BENCH_BITS", "8"))
     n_files = int(os.environ.get("BENCH_FILES", "16384"))
