@@ -30,7 +30,10 @@ from bjxa_tpu.format import (
     dump_riff_header,
     parse_xa_header,
 )
-from bjxa_tpu.ops.decode import decode_batch_lanes, pad_bucket as _bucket
+from bjxa_tpu.ops.decode import (
+    decode_batch_words,
+    pad_bucket as _bucket,
+)
 from bjxa_tpu.ops.tables import BLOCK_SAMPLES
 from bjxa_tpu.utils.profiler import Counters
 from bjxa_tpu.utils.progress import Manifest
@@ -128,20 +131,17 @@ def decode_corpus(
     def submit(bits, channels, bucket, chunk):
         size = bits * 4 + 1
         n = len(chunk)
-        # Stage lane-major (uint8[B, S, files*C]): the device consumes
-        # raw bytes at native tiling with zero transposes, and this
-        # slicing is the one numpy copy staging costs in any layout.
-        blocks_t = np.zeros((bucket, size, n * channels), np.uint8)
         states = np.zeros((n * channels, 2), np.int32)
-        for i, (path, fmt, payload) in enumerate(chunk):
-            raw = np.frombuffer(
-                payload, np.uint8, count=fmt.blocks * fmt.block_size_xa
-            ).reshape(fmt.blocks, channels, size)
-            lanes = slice(i * channels, (i + 1) * channels)
-            blocks_t[: fmt.blocks, :, lanes] = raw.transpose(0, 2, 1)
-            states[lanes] = fmt.initial_state_array()
-
         if mesh is not None:
+            # Sharded path keeps the lane-major uint8 staging.
+            blocks_t = np.zeros((bucket, size, n * channels), np.uint8)
+            for i, (path, fmt, payload) in enumerate(chunk):
+                raw = np.frombuffer(
+                    payload, np.uint8, count=fmt.blocks * fmt.block_size_xa
+                ).reshape(fmt.blocks, channels, size)
+                lanes = slice(i * channels, (i + 1) * channels)
+                blocks_t[: fmt.blocks, :, lanes] = raw.transpose(0, 2, 1)
+                states[lanes] = fmt.initial_state_array()
             from bjxa_tpu.parallel.sharded import (
                 decode_corpus_sharded_lanes,
             )
@@ -149,16 +149,46 @@ def decode_corpus(
             pcm, _end, valid = decode_corpus_sharded_lanes(
                 blocks_t, states, bits=bits, mesh=mesh
             )
-        else:
-            pcm, _end, valid = decode_batch_lanes(
-                blocks_t, states, bits=bits
+            return channels, bucket, chunk, pcm, valid
+
+        # Single-device fast path: stage packed words (profile byte plane +
+        # little-endian int32 payload words) — one numpy copy, the same
+        # cost as any staging layout, and the device then loads payload at
+        # int32 tiles with no per-sample uint8 convert and returns PCM in
+        # its native lane split (no device relayout).
+        W = bits  # 4*bits payload bytes == bits int32 words
+        prof = np.zeros((bucket, n * channels), np.uint8)
+        words8 = np.zeros((bucket, W, n * channels, 4), np.uint8)
+        for i, (path, fmt, payload) in enumerate(chunk):
+            raw = np.frombuffer(
+                payload, np.uint8, count=fmt.blocks * fmt.block_size_xa
+            ).reshape(fmt.blocks, channels, size)
+            lanes = slice(i * channels, (i + 1) * channels)
+            prof[: fmt.blocks, lanes] = raw[:, :, 0]
+            words8[: fmt.blocks, :, lanes, :] = (
+                raw[:, :, 1:]
+                .reshape(fmt.blocks, channels, W, 4)
+                .transpose(0, 2, 1, 3)
             )
+            states[lanes] = fmt.initial_state_array()
+        words = words8.view("<i4")[..., 0]
+        pcm, _end, valid = decode_batch_words(
+            prof, words, states, bits=bits
+        )
         return channels, bucket, chunk, pcm, valid
 
     def flush(pending):
         nonlocal converted
         channels, bucket, chunk, pcm, valid = pending
-        pcm = np.asarray(pcm)  # [bucket, 32, lanes] (blocks on transfer)
+        # Fused path returns PCM in the kernel-native padded lane split
+        # ([Bp, 32, sub, LNp]); merging and trimming here is a free numpy
+        # view.  The fallback's flat [bucket, 32, lanes] passes through
+        # unchanged.
+        lanes_total = len(chunk) * channels
+        pcm = np.asarray(pcm)
+        pcm = pcm.reshape(pcm.shape[0], BLOCK_SAMPLES, -1)[
+            :bucket, :, :lanes_total
+        ]
         valid = np.asarray(valid)  # [bucket, lanes]
         for i, (path, fmt, payload) in enumerate(chunk):
             lanes = slice(i * channels, (i + 1) * channels)

@@ -1,0 +1,117 @@
+"""Packed-words decode path: bit-exactness against the production paths.
+
+The words layout (profile plane + little-endian int32 payload words) is a
+pure re-staging of the same bytes; every variant here must match the
+lane-major scan pipeline sample-for-sample and state-for-state, including
+the padding wrapper's end-state recovery.  Reference semantics:
+``src/libbjxa.c:286-345`` (inflate) + ``:533-578`` (filter).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bjxa_tpu.ops.decode import (
+    decode_batch_lanes,
+    decode_batch_words,
+    pack_words_from_lanes,
+    words_from_blocks_host,
+    words_to_blocks,
+)
+from bjxa_tpu.ops.pallas_decode import (
+    fused_decode_lanes,
+    fused_decode_words,
+    fused_decode_words_padded,
+)
+from bjxa_tpu.ops.tables import BLOCK_SAMPLES
+
+
+def _mk_lanes(bits, B, L, seed=0, max_factor=5):
+    rng = np.random.default_rng(seed)
+    S = 4 * bits + 1
+    blocks_t = rng.integers(0, 256, size=(B, S, L), dtype=np.uint8)
+    factor = rng.integers(0, max_factor, size=(B, L))
+    shift = rng.integers(0, 16, size=(B, L))
+    blocks_t[:, 0, :] = (factor << 4 | shift).astype(np.uint8)
+    state = rng.integers(-3000, 3000, size=(L, 2)).astype(np.int32)
+    return blocks_t, state
+
+
+@pytest.mark.parametrize("bits", [4, 6, 8])
+def test_pack_words_roundtrip(bits):
+    blocks_t, _ = _mk_lanes(bits, B=6, L=16, seed=1)
+    prof, words = pack_words_from_lanes(jnp.asarray(blocks_t), bits=bits)
+    back = words_to_blocks(prof, words, bits=bits)
+    np.testing.assert_array_equal(np.asarray(back), blocks_t)
+    # host stager produces identical words
+    hprof, hwords = words_from_blocks_host(blocks_t, bits)
+    np.testing.assert_array_equal(hprof, np.asarray(prof))
+    np.testing.assert_array_equal(hwords, np.asarray(words))
+
+
+@pytest.mark.parametrize("bits", [4, 6, 8])
+def test_fused_words_kernel_matches_fused_lanes(bits):
+    """Interpret-mode kernel equality at exact tile shapes."""
+    B, L, sub, lt, bt = 8, 256, 16, 256, 4
+    blocks_t, state = _mk_lanes(bits, B, L, seed=2)
+    ref_pcm, ref_end = fused_decode_lanes(
+        jnp.asarray(blocks_t), jnp.asarray(state), bits=bits,
+        lane_tile=lt, block_tile=bt, sublanes=sub, interpret=True,
+    )
+    prof, words = pack_words_from_lanes(jnp.asarray(blocks_t), bits=bits)
+    pcm4, end = fused_decode_words(
+        prof, words, jnp.asarray(state), bits=bits,
+        lane_tile=lt, block_tile=bt, sublanes=sub, interpret=True,
+    )
+    got = np.asarray(pcm4).reshape(B, BLOCK_SAMPLES, L)
+    np.testing.assert_array_equal(got, np.asarray(ref_pcm))
+    np.testing.assert_array_equal(np.asarray(end), np.asarray(ref_end))
+
+
+@pytest.mark.parametrize("bits", [4, 6, 8])
+@pytest.mark.parametrize("shape", [(7, 96), (5, 300)])
+def test_fused_words_padded(bits, shape):
+    """Padding wrapper: odd block/lane counts, end-state recovery."""
+    B, L = shape
+    blocks_t, state = _mk_lanes(bits, B, L, seed=3)
+    ref_pcm, ref_end = fused_decode_lanes(
+        jnp.asarray(np.pad(blocks_t, ((0, (-B) % 4), (0, 0), (0, (-L) % 256)))),
+        jnp.asarray(np.pad(state, ((0, (-L) % 256), (0, 0)))),
+        bits=bits, lane_tile=256, block_tile=4, sublanes=16, interpret=True,
+    )
+    prof, words = pack_words_from_lanes(jnp.asarray(blocks_t), bits=bits)
+    pcm4, end = fused_decode_words_padded(
+        prof, words, jnp.asarray(state), bits=bits,
+        lane_tile=256, block_tile=4, sublanes=16, interpret=True,
+    )
+    got = np.asarray(pcm4).reshape(pcm4.shape[0], BLOCK_SAMPLES, -1)
+    np.testing.assert_array_equal(
+        got[:B, :, :L], np.asarray(ref_pcm)[:B, :, :L]
+    )
+    # end state must equal the state after the last REAL block: recompute
+    # from the reference PCM of row B-1
+    ref = np.asarray(ref_pcm)
+    want_end = np.stack(
+        [ref[B - 1, -1, :L], ref[B - 1, -2, :L]], axis=-1
+    ).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(end), want_end)
+
+
+@pytest.mark.parametrize("bits", [4, 6, 8])
+def test_decode_batch_words_matches_batch_lanes(bits):
+    """Public batch API equality on the active backend (scan fallback on
+    CPU), including the host lane-recovery contract."""
+    B, L = 11, 10
+    blocks_t, state = _mk_lanes(bits, B, L, seed=4, max_factor=6)
+    ref_pcm, ref_end, ref_valid = decode_batch_lanes(
+        jnp.asarray(blocks_t), jnp.asarray(state), bits=bits
+    )
+    prof, words = words_from_blocks_host(blocks_t, bits)
+    pcm, end, valid = decode_batch_words(
+        jnp.asarray(prof), jnp.asarray(words), jnp.asarray(state), bits=bits
+    )
+    got = np.asarray(pcm)
+    got = got.reshape(got.shape[0], BLOCK_SAMPLES, -1)[:B, :, :L]
+    np.testing.assert_array_equal(got, np.asarray(ref_pcm))
+    np.testing.assert_array_equal(np.asarray(end), np.asarray(ref_end))
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref_valid))
