@@ -63,11 +63,7 @@ def _kernel(prof_ref, words_ref, state_ref, out_ref, end_ref, st_ref, *,
             w = words_ref[j, wi]
             for q in range(4):
                 # byte q of the word, placed in the top byte of an int16
-                if q < 3:
-                    v = ((w >> (8 * q)) & 0xFF) << 8
-                else:
-                    # top byte: one logical shift right then mask-free <<8
-                    v = ((w >> 24) & 0xFF) << 8
+                v = ((w >> (8 * q)) & 0xFF) << 8
                 ranged = _sign16(v) >> shift
                 g = p0 * k0 + p1 * k1
                 s = ranged + ((g + ((g >> 31) & 255)) >> 8)

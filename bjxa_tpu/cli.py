@@ -56,6 +56,12 @@ Available actions:
     manifest (reruns skip already-converted files).
     With --encode (plus optional --bits/--truncate) the
     direction reverses: every *.wav encodes to XA.
+    Multi-host: --coordinator <host:port> --num-processes
+    <n> --process-id <i> (or BJXA_COORDINATOR /
+    BJXA_NUM_PROCESSES / BJXA_PROCESS_ID) shard the file
+    list across cooperating processes; the summary line
+    reports cross-host totals. --trace <dir> captures a
+    jax.profiler trace; --stats prints throughput rates.
 """
 
 
@@ -192,8 +198,10 @@ def _cmd_encode(args: list[str], prog: str) -> int:
             args = args[1:]
             if not args:
                 return _fail(prog, "Missing number of bits per sample")
-            val = args[0]
-            bits = ord(val) - ord("0") if len(val) == 1 else -1
+            try:
+                bits = int(args[0])
+            except ValueError:
+                bits = -1
             if bits not in (4, 6, 8):
                 return _fail(prog, "Invalid number of bits per sample")
             args = args[1:]
@@ -261,32 +269,63 @@ def _cmd_corpus(args: list[str], prog: str) -> int:
     bits = 6
     search = True
     saw_encode_opts = False
+    coordinator = None
+    num_processes = None
+    process_id = None
+    trace_dir = None
+    stats = False
+
+    def _take_value(args):
+        if len(args) < 2:
+            return None, args[1:]
+        return args[1], args[2:]
+
     while args and args[0].startswith("--"):
         if args[0] == "--batch-files":
-            args = args[1:]
-            if not args or not args[0].isdigit() or int(args[0]) < 1:
+            val, args = _take_value(args)
+            if val is None or not val.isdigit() or int(val) < 1:
                 return _fail(prog, "Invalid --batch-files")
-            batch_files = int(args[0])
-            args = args[1:]
+            batch_files = int(val)
         elif args[0] == "--manifest":
-            args = args[1:]
-            if not args:
+            val, args = _take_value(args)
+            if val is None:
                 return _fail(prog, "Missing manifest path")
-            manifest = args[0]
-            args = args[1:]
+            manifest = val
         elif args[0] == "--encode":
             encode = True
             args = args[1:]
         elif args[0] == "--bits":
-            args = args[1:]
-            if not args or args[0] not in ("4", "6", "8"):
+            val, args = _take_value(args)
+            if val is None or val not in ("4", "6", "8"):
                 return _fail(prog, "Invalid number of bits per sample")
-            bits = int(args[0])
+            bits = int(val)
             saw_encode_opts = True
-            args = args[1:]
         elif args[0] == "--truncate":
             search = False
             saw_encode_opts = True
+            args = args[1:]
+        elif args[0] == "--coordinator":
+            val, args = _take_value(args)
+            if val is None:
+                return _fail(prog, "Missing coordinator address")
+            coordinator = val
+        elif args[0] == "--num-processes":
+            val, args = _take_value(args)
+            if val is None or not val.isdigit() or int(val) < 1:
+                return _fail(prog, "Invalid --num-processes")
+            num_processes = int(val)
+        elif args[0] == "--process-id":
+            val, args = _take_value(args)
+            if val is None or not val.isdigit():
+                return _fail(prog, "Invalid --process-id")
+            process_id = int(val)
+        elif args[0] == "--trace":
+            val, args = _take_value(args)
+            if val is None:
+                return _fail(prog, "Missing trace directory")
+            trace_dir = val
+        elif args[0] == "--stats":
+            stats = True
             args = args[1:]
         else:
             return _fail(prog, f"Unknown option {args[0]}")
@@ -299,35 +338,63 @@ def _cmd_corpus(args: list[str], prog: str) -> int:
         sys.stderr.write(f"corpus: {in_dir}: Not a directory\n")
         return 1
 
+    from bjxa_tpu.parallel import distributed
     from bjxa_tpu.parallel.corpus import decode_corpus, encode_corpus
+    from bjxa_tpu.utils.profiler import Profiler
 
     try:
-        if encode:
-            res = encode_corpus(
-                in_dir,
-                out_dir,
-                bits=bits,
-                search=search,
-                batch_files=batch_files,
-                manifest_path=manifest,
-            )
-        else:
-            res = decode_corpus(
-                in_dir,
-                out_dir,
-                batch_files=batch_files,
-                manifest_path=manifest,
-            )
+        distributed.initialize(coordinator, num_processes, process_id)
+    except ValueError as e:
+        return _fail(prog, str(e))
+    profiler = Profiler(trace_dir)
+
+    try:
+        with profiler.trace():
+            if encode:
+                res = encode_corpus(
+                    in_dir,
+                    out_dir,
+                    bits=bits,
+                    search=search,
+                    batch_files=batch_files,
+                    manifest_path=manifest,
+                )
+            else:
+                res = decode_corpus(
+                    in_dir,
+                    out_dir,
+                    batch_files=batch_files,
+                    manifest_path=manifest,
+                )
     except (BjxaError, OSError) as e:
         _perror("corpus", e)
         return 1
     for path, why in sorted(res.failed.items()):
         sys.stderr.write(f"corpus: {path}: {why}\n")
-    sys.stdout.write(
-        f"converted {res.converted} skipped {res.skipped}"
-        f" failed {len(res.failed)}"
-        f" samples {res.counters.samples}\n"
+
+    # Cross-host totals: every process enters the reduction (a collective),
+    # the first prints. Single-process runs reduce to the identity.
+    converted, skipped, nfailed = distributed.allreduce_sum(
+        [res.converted, res.skipped, len(res.failed)]
     )
+    counters = distributed.allreduce_counters(res.counters)
+    index, _count = distributed.process_info()
+    if index == 0:
+        sys.stdout.write(
+            f"converted {converted} skipped {skipped}"
+            f" failed {nfailed}"
+            f" samples {counters.samples}\n"
+        )
+        if stats:
+            rates = counters.rates()
+            sys.stdout.write(
+                "stats"
+                f" files_per_s {rates['files_per_s']:.2f}"
+                f" msamples_per_s {rates['msamples_per_s']:.2f}"
+                f" mb_in_per_s {rates['mb_in_per_s']:.2f}"
+                f" mb_out_per_s {rates['mb_out_per_s']:.2f}"
+                f" elapsed_s {rates['elapsed_s']:.3f}\n"
+            )
     return 1 if res.failed else 0
 
 
@@ -359,10 +426,28 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _select_platform() -> None:
+    """Honor ``BJXA_PLATFORM`` (e.g. ``cpu``) before any backend use.
+
+    An env-var override of ``JAX_PLATFORMS`` is not enough on hosts whose
+    site startup imports jax before this process's own code runs; the
+    config update works at any point before the first backend is built.
+    """
+    plat = os.environ.get("BJXA_PLATFORM")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # pragma: no cover - best-effort override
+            pass
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv if argv is None else argv)
     prog = argv[0] if argv else "bjxa"
     args = argv[1:]
+    _select_platform()
     _enable_compile_cache()
 
     if not args:

@@ -436,7 +436,7 @@ def pack_words_from_lanes(blocks_t: jnp.ndarray, *, bits: int):
     is ``4*bits`` bytes, so there are exactly ``bits`` words per block).
     Device-side convenience for callers that cannot stage words host-side;
     the hot paths stage words directly (one numpy copy, same cost as any
-    layout — see :func:`word_lanes_from_arrays`).
+    layout — see :func:`words_from_blocks_host`).
     """
     B, S, L = blocks_t.shape
     assert S == 4 * bits + 1, (S, bits)

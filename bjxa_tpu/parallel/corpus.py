@@ -60,6 +60,19 @@ def _run_pipelined(groups, batch_files, submit, flush):
         flush(pending)
 
 
+def _resolve_process(process_index, process_count):
+    """Fill unspecified process coordinates from the live JAX runtime."""
+    if process_index is None or process_count is None:
+        from bjxa_tpu.parallel.distributed import process_info
+
+        auto_index, auto_count = process_info()
+        if process_index is None:
+            process_index = auto_index
+        if process_count is None:
+            process_count = auto_count
+    return process_index, process_count
+
+
 @dataclasses.dataclass
 class CorpusResult:
     converted: int
@@ -76,16 +89,20 @@ def decode_corpus(
     bucket_granularity: int = 256,
     manifest_path: str | pathlib.Path | None = None,
     mesh=None,
-    process_index: int = 0,
-    process_count: int = 1,
+    process_index: int | None = None,
+    process_count: int | None = None,
 ) -> CorpusResult:
     """Decode every XA file in ``inputs`` to WAV files in ``out_dir``.
 
-    ``inputs`` may be a directory or an iterable of paths.  With
-    ``process_count > 1`` each host takes a round-robin shard of the sorted
-    file list (call with ``jax.process_index()/count()`` under
-    ``jax.distributed``).
+    ``inputs`` may be a directory or an iterable of paths.  Under
+    ``jax.distributed`` (see :func:`bjxa_tpu.parallel.distributed.initialize`)
+    each host auto-derives its round-robin shard of the sorted file list
+    from ``jax.process_index()/count()``; passing ``process_index``/``count``
+    explicitly overrides that (e.g. for externally-managed sharding).
     """
+    process_index, process_count = _resolve_process(
+        process_index, process_count
+    )
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     if isinstance(inputs, (str, pathlib.Path)) and pathlib.Path(inputs).is_dir():
@@ -234,8 +251,8 @@ def encode_corpus(
     batch_files: int = 64,
     bucket_granularity: int = 256,
     manifest_path: str | pathlib.Path | None = None,
-    process_index: int = 0,
-    process_count: int = 1,
+    process_index: int | None = None,
+    process_count: int | None = None,
 ) -> CorpusResult:
     """Encode every WAV file in ``inputs`` to XA files in ``out_dir``.
 
@@ -246,6 +263,9 @@ def encode_corpus(
     and packing.  Output bytes are identical to per-file
     :func:`bjxa_tpu.api.encode_pcm` — lanes never interact.
     """
+    process_index, process_count = _resolve_process(
+        process_index, process_count
+    )
     import jax.numpy as jnp
 
     from bjxa_tpu.format import (

@@ -21,8 +21,48 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persist XLA compilations across pytest runs: the suite is dominated by
+# CPU-backend compiles of large static shapes, which never change between
+# runs of the same code.  Safe because the cache key covers the HLO.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "BJXA_TEST_COMPILE_CACHE",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "bjxa-tpu",
+            "jax-test",
+        ),
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow",
+        action="store_true",
+        default=False,
+        help="also run tests marked slow (the full Pallas-interpret matrix)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long Pallas-interpret / big-shape case (run with --slow)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(reason="slow; pass --slow to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 REFERENCE_DIR = pathlib.Path(
     os.environ.get("BJXA_REFERENCE_DIR", "/root/reference")

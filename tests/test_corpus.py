@@ -120,7 +120,9 @@ def _write_wav(path, pcm, rate=44100):
     )
 
 
-@pytest.mark.parametrize("search", (True, False))
+@pytest.mark.parametrize(
+    "search", (pytest.param(True, marks=pytest.mark.slow), False)
+)
 def test_encode_corpus_matches_per_file(tmp_path, search):
     """Batched corpus encode produces byte-identical XA to per-file
     encode_pcm — lanes must not interact."""

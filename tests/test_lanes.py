@@ -166,6 +166,7 @@ def test_chunk_lanes_staging_matches_blocks_from_bytes():
     np.testing.assert_array_equal(back, blocks)
 
 
+@pytest.mark.slow
 def test_fixpoint_lanes_core_xla_equals_fused_interpret():
     """The fused=False (XLA) and fused=True (Pallas, interpret) cores of
     fixpoint_lanes_core agree bit-for-bit, including at sublanes=32."""

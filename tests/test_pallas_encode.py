@@ -14,7 +14,14 @@ from bjxa_tpu.ops.encode import encode_search_scan
 from bjxa_tpu.ops.pallas_encode import encode_search_pallas_core
 
 
-@pytest.mark.parametrize("bits", [4, 6, 8])
+@pytest.mark.parametrize(
+    "bits",
+    [
+        pytest.param(4, marks=pytest.mark.slow),
+        6,
+        pytest.param(8, marks=pytest.mark.slow),
+    ],
+)
 def test_pallas_encode_matches_scan(bits):
     rng = np.random.default_rng(bits)
     B, L = 2, 16

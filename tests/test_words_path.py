@@ -49,7 +49,14 @@ def test_pack_words_roundtrip(bits):
     np.testing.assert_array_equal(hwords, np.asarray(words))
 
 
-@pytest.mark.parametrize("bits", [4, 6, 8])
+@pytest.mark.parametrize(
+    "bits",
+    [
+        4,
+        pytest.param(6, marks=pytest.mark.slow),
+        pytest.param(8, marks=pytest.mark.slow),
+    ],
+)
 def test_fused_words_kernel_matches_fused_lanes(bits):
     """Interpret-mode kernel equality at exact tile shapes."""
     B, L, sub, lt, bt = 8, 256, 16, 256, 4
@@ -69,7 +76,9 @@ def test_fused_words_kernel_matches_fused_lanes(bits):
 
 
 @pytest.mark.parametrize("bits", [4, 6, 8])
-@pytest.mark.parametrize("shape", [(7, 96), (5, 300)])
+@pytest.mark.parametrize(
+    "shape", [(7, 96), pytest.param((5, 300), marks=pytest.mark.slow)]
+)
 def test_fused_words_padded(bits, shape):
     """Padding wrapper: odd block/lane counts, end-state recovery."""
     B, L = shape
