@@ -9,9 +9,10 @@ one Xeon core (measured during the survey; the project publishes no
 numbers of its own).
 
 Methodology: the workload is a large batch of 8-bit stereo streams decoded
-by the full device pipeline — the fused Pallas kernel consuming raw XA
-bytes in the lane-major layout the corpus engine stages (uint8[B, S, L]),
-producing filtered PCM and carried predictor state.  To measure the chip
+by the full device pipeline — the fused Pallas kernel consuming the packed
+little-endian-words layout the corpus engine stages (profile plane
+uint8[B, L] + payload words int32[B, bits, L]), producing filtered PCM and
+carried predictor state.  To measure the chip
 rather than host/tunnel launch latency, T pipeline iterations are chained
 inside one jit (each iteration's end state feeds the next, with a bounded
 dependency on the PCM output so nothing can be hoisted or elided) and the
@@ -34,7 +35,7 @@ def main() -> None:
     from jax import lax, random
 
     from bjxa_tpu.cli import _enable_compile_cache
-    from bjxa_tpu.ops.decode import decode_batch_lanes
+    from bjxa_tpu.ops.decode import decode_batch_words
 
     _enable_compile_cache()
 
@@ -51,28 +52,36 @@ def main() -> None:
     @jax.jit
     def gen(key):
         kd, kf, ks = random.split(key, 3)
-        blocks_t = random.randint(
-            kd, (nblocks, size, lanes), 0, 256, jnp.int32
-        ).astype(jnp.uint8)
+        words = random.randint(
+            kd,
+            (nblocks, bits, lanes),
+            jnp.iinfo(jnp.int32).min,
+            jnp.iinfo(jnp.int32).max,
+            jnp.int32,
+        )
         factor = random.randint(kf, (nblocks, lanes), 0, 5)
         shift = random.randint(ks, (nblocks, lanes), 0, 16)
         prof = (factor << 4 | shift).astype(jnp.uint8)
-        return blocks_t.at[:, 0, :].set(prof)
+        return prof, words
 
-    blocks_t = gen(random.PRNGKey(7))
+    prof, words = gen(random.PRNGKey(7))
     states0 = jnp.zeros((lanes, 2), jnp.int32)
-    jax.block_until_ready(blocks_t)
+    jax.block_until_ready(words)
 
-    decode_core = decode_batch_lanes.__wrapped__
+    decode_core = decode_batch_words.__wrapped__
 
     @jax.jit
-    def chain(b, st, T):  # T is a traced trip count: one compile for all T
+    def chain(p, w, st, T):  # T is a traced trip count: one compile for all T
         def body(_, carry):
             st, chk = carry
-            pcm, end, valid = decode_core(b, st, bits=bits)
+            pcm, end, valid = decode_core(p, w, st, bits=bits)
             # real (bounded) dependency on the sample output so the
-            # pcm writes can't be dead-code-eliminated
-            st = end + (pcm[-1, -1].astype(jnp.int32)[:, None] >> 15)
+            # pcm writes can't be dead-code-eliminated; scalar slice, not
+            # a reshape — reshaping the tiled 4-D PCM would relayout-copy
+            # the whole output every iteration
+            while pcm.ndim:
+                pcm = pcm[-1]
+            st = end + (pcm.astype(jnp.int32) >> 15)
             chk = chk + jnp.sum(end)
             return st, chk
         st, chk = lax.fori_loop(0, T, body, (st, jnp.int32(0)))
@@ -80,11 +89,11 @@ def main() -> None:
 
     def measure(T):
         t_arr = jnp.int32(T)
-        int(chain(blocks_t, states0, t_arr))  # compile (first call) + warm
+        int(chain(prof, words, states0, t_arr))  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            int(chain(blocks_t, states0, t_arr))
+            int(chain(prof, words, states0, t_arr))
             best = min(best, time.perf_counter() - t0)
         return best
 
