@@ -459,6 +459,29 @@ def words_to_blocks(prof: jnp.ndarray, words: jnp.ndarray, *, bits: int):
     return jnp.concatenate([prof[:, None, :], payload], axis=1)
 
 
+def trim_padded_lanes(pcm: jnp.ndarray, B: int, L: int,
+                      *, waste_factor: int = 2) -> jnp.ndarray:
+    """Device-side trim of kernel-padded PCM when padding dominates.
+
+    The fused kernel returns PCM in its padded native split
+    ``int16[Bp, 32, sub, LNp]``; transferring that to the host moves
+    ``Bp*sub*LNp / (B*L)`` times the real bytes.  When that ratio exceeds
+    ``waste_factor`` (small corpus batches padded up to a full lane tile),
+    a flat reshape (a free view — the 4-D split is contiguous) plus slice
+    copies only the real bytes on device, far cheaper than shipping pad
+    over PCIe (or a slow tunnel).  Near full tiles the slice would
+    relayout-copy essentially the whole output for no transfer saving, so
+    the padded layout passes through and hosts trim after transfer with
+    the usual ``reshape(Bp, 32, -1)[:B, :, :L]`` recipe (a numpy view).
+    """
+    if pcm.ndim != 4:
+        return pcm  # scan fallback: already flat [B, 32, L]
+    Bp, ns, sub, LNp = pcm.shape
+    if Bp * sub * LNp <= waste_factor * B * L:
+        return pcm
+    return pcm.reshape(Bp, ns, sub * LNp)[:B, :, :L]
+
+
 @partial(jax.jit, static_argnames=("bits",))
 def decode_batch_words(prof: jnp.ndarray, words: jnp.ndarray,
                        state: jnp.ndarray, *, bits: int):
@@ -477,8 +500,9 @@ def decode_batch_words(prof: jnp.ndarray, words: jnp.ndarray,
 
     Returns ``(pcm, end int32[L, 2], valid bool[B, L])`` where ``pcm`` is
     ``int16[B, 32, *lane_dims]`` with lane_dims backend-dependent (4-D
-    padded split on the fused TPU path, flat ``[B, 32, L]`` on the scan
-    fallback).  Hosts recover lanes uniformly with
+    padded split on the fused TPU path — unless padding dominated, see
+    :func:`trim_padded_lanes` — flat ``[B, 32, L]`` otherwise).  Hosts
+    recover lanes uniformly with
     ``np.asarray(pcm).reshape(Bp, 32, -1)[:B, :, :L]``.
     """
     from bjxa_tpu.ops.filter import _fused_default
@@ -488,6 +512,7 @@ def decode_batch_words(prof: jnp.ndarray, words: jnp.ndarray,
         from bjxa_tpu.ops.pallas_decode import fused_decode_words_padded
 
         pcm, end = fused_decode_words_padded(prof, words, state, bits=bits)
+        pcm = trim_padded_lanes(pcm, prof.shape[0], prof.shape[1])
     else:
         blocks_t = words_to_blocks(prof, words, bits=bits)
         profiles, samples = inflate_lanes(blocks_t, bits)

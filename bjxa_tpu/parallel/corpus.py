@@ -7,9 +7,10 @@ Scales the reference's one-file-at-a-time CLI to directories of files:
 * batches decode through :func:`bjxa_tpu.ops.decode.decode_batch` — on a
   multi-device mesh the file axis is sharded (data parallel, zero
   communication);
-* batches run through a two-stage software pipeline: batch i+1 is staged
-  and dispatched while batch i's PCM is still in flight from the device,
-  overlapping host staging, device compute, and readback;
+* batches run through a depth-k software pipeline: upcoming batches are
+  staged and dispatched while earlier batches' PCM is still in flight
+  from the device, overlapping host staging, device compute, and
+  readback even over thin readback links;
 * a JSONL manifest makes runs restartable per file (SURVEY §5
   checkpoint/resume); under ``jax.distributed`` each host processes its
   round-robin shard of the corpus (host-local file I/O, device-local
@@ -40,24 +41,27 @@ from bjxa_tpu.utils.progress import Manifest
 
 
 
-def _run_pipelined(groups, batch_files, submit, flush):
-    """Two-stage software pipeline over grouped batches.
+def _run_pipelined(groups, batch_files, submit, flush, depth: int = 3):
+    """Software pipeline over grouped batches, ``depth`` batches in flight.
 
-    Invariant: submit(next batch) happens BEFORE flush(previous batch) so
-    host staging + async device dispatch of batch i+1 overlap batch i's
+    Invariant: submit(batch i+k) happens BEFORE flush(batch i) so host
+    staging + async device dispatch of upcoming batches overlap batch i's
     device compute and readback (JAX dispatch is asynchronous; flush's
-    np.asarray blocks on the transfer).
+    np.asarray blocks on the transfer).  ``depth`` bounds device-side
+    queued batches so a slow consumer (e.g. a thin readback link) cannot
+    accumulate unbounded device memory.
     """
-    pending = None
+    from collections import deque
+
+    inflight: deque = deque()
     for key, items in sorted(groups.items()):
         for start in range(0, len(items), batch_files):
             chunk = items[start : start + batch_files]
-            inflight = submit(*key, chunk)
-            if pending is not None:
-                flush(pending)
-            pending = inflight
-    if pending is not None:
-        flush(pending)
+            inflight.append(submit(*key, chunk))
+            if len(inflight) >= max(depth, 1):
+                flush(inflight.popleft())
+    while inflight:
+        flush(inflight.popleft())
 
 
 def _resolve_process(process_index, process_count):
@@ -141,17 +145,22 @@ def decode_corpus(
         groups.setdefault(key, []).append((path, fmt, payload))
 
     # ---- decode each group in device batches ----------------------------
-    # Two-stage software pipeline: batch i+1 is staged and dispatched
-    # (JAX dispatch is asynchronous) before batch i's results are
-    # materialized and written, so host staging, device compute, and
-    # device->host PCM transfer of adjacent batches overlap.
+    # Depth-k software pipeline: upcoming batches are staged and
+    # dispatched (JAX dispatch is asynchronous) before earlier results
+    # are materialized and written, so host staging, device compute, and
+    # device->host PCM transfer of several batches overlap.
     def submit(bits, channels, bucket, chunk):
         size = bits * 4 + 1
         n = len(chunk)
-        states = np.zeros((n * channels, 2), np.int32)
+        # Stage a FIXED lane count per group (batch_files worth) so the
+        # remainder chunk reuses the full batch's compiled program instead
+        # of costing a fresh XLA/Mosaic compile per distinct chunk size;
+        # pad lanes are all-zero (profile 0 = valid) and nearly free.
+        n_alloc = batch_files if n < batch_files else n
+        states = np.zeros((n_alloc * channels, 2), np.int32)
         if mesh is not None:
             # Sharded path keeps the lane-major uint8 staging.
-            blocks_t = np.zeros((bucket, size, n * channels), np.uint8)
+            blocks_t = np.zeros((bucket, size, n_alloc * channels), np.uint8)
             for i, (path, fmt, payload) in enumerate(chunk):
                 raw = np.frombuffer(
                     payload, np.uint8, count=fmt.blocks * fmt.block_size_xa
@@ -174,8 +183,8 @@ def decode_corpus(
         # int32 tiles with no per-sample uint8 convert and returns PCM in
         # its native lane split (no device relayout).
         W = bits  # 4*bits payload bytes == bits int32 words
-        prof = np.zeros((bucket, n * channels), np.uint8)
-        words8 = np.zeros((bucket, W, n * channels, 4), np.uint8)
+        prof = np.zeros((bucket, n_alloc * channels), np.uint8)
+        words8 = np.zeros((bucket, W, n_alloc * channels, 4), np.uint8)
         for i, (path, fmt, payload) in enumerate(chunk):
             raw = np.frombuffer(
                 payload, np.uint8, count=fmt.blocks * fmt.block_size_xa
@@ -251,6 +260,7 @@ def encode_corpus(
     batch_files: int = 64,
     bucket_granularity: int = 256,
     manifest_path: str | pathlib.Path | None = None,
+    mesh=None,
     process_index: int | None = None,
     process_count: int | None = None,
 ) -> CorpusResult:
@@ -260,8 +270,9 @@ def encode_corpus(
     (channels, block-count bucket), each batch runs the 80-profile search
     (or reference-compatible truncation) as one device program over
     ``files x channels`` lanes, and batches pipeline against host staging
-    and packing.  Output bytes are identical to per-file
-    :func:`bjxa_tpu.api.encode_pcm` — lanes never interact.
+    and packing.  On a multi-device ``mesh`` the lane axis shards over the
+    data-parallel axis (zero communication).  Output bytes are identical
+    to per-file :func:`bjxa_tpu.api.encode_pcm` — lanes never interact.
     """
     process_index, process_count = _resolve_process(
         process_index, process_count
@@ -318,19 +329,30 @@ def encode_corpus(
 
     def submit(channels, bucket, chunk):
         n = len(chunk)
+        # Fixed lane count per group (see decode_corpus.submit): the
+        # remainder chunk reuses the full batch's compiled program.
+        n_alloc = batch_files if n < batch_files else n
         lanes = np.zeros(
-            (bucket, BLOCK_SAMPLES, n * channels), np.int16
+            (bucket, BLOCK_SAMPLES, n_alloc * channels), np.int16
         )
-        frames = lanes.reshape(bucket * BLOCK_SAMPLES, n * channels)
+        frames = lanes.reshape(bucket * BLOCK_SAMPLES, n_alloc * channels)
         for i, (path, rf, pcm) in enumerate(chunk):
             ln = slice(i * channels, (i + 1) * channels)
             frames[: pcm.shape[0], ln] = pcm
+        states0 = np.zeros((n_alloc * channels, 2), np.int32)
+        if mesh is not None:
+            from bjxa_tpu.parallel.sharded import (
+                encode_corpus_sharded_lanes,
+            )
+
+            blocks = encode_corpus_sharded_lanes(
+                lanes, states0, bits=bits, search=search, mesh=mesh
+            )
+            return channels, chunk, blocks
         lanes_d = jnp.asarray(lanes)
         if search:
             profiles, coded, _recon, _end = encode_search(
-                lanes_d,
-                jnp.zeros((n * channels, 2), jnp.int32),
-                bits=bits,
+                lanes_d, jnp.asarray(states0), bits=bits
             )
         else:
             profiles, coded = encode_truncate(lanes_d)

@@ -110,6 +110,75 @@ def decode_corpus_sharded_lanes(
     return pcm, end, valid
 
 
+@functools.lru_cache(maxsize=None)
+def _corpus_encode_fn(mesh: Mesh, axis: str, bits: int, search: bool):
+    """Cached jitted shard_map for the lane-sharded corpus encode.
+
+    ``check_vma=False`` for the same reason as :func:`_corpus_lanes_fn`:
+    the search body may hold a pallas_call and lanes never communicate.
+    """
+    from bjxa_tpu.ops.deflate import deflate_blocks
+    from bjxa_tpu.ops.encode import encode_search, encode_truncate
+
+    def body(pcm, states):
+        if search:
+            profiles, coded, _recon, _end = encode_search(
+                pcm, states, bits=bits
+            )
+        else:
+            profiles, coded = encode_truncate(pcm)
+        # [B, 32, L] -> [B, L, 32] so packed bytes land channel-major
+        # within each effective block (the file layout).
+        return deflate_blocks(profiles, coded.transpose(0, 2, 1), bits)
+
+    return jax.jit(
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(None, None, axis), P(axis, None)),
+            out_specs=P(None, axis, None),
+            check_vma=False,
+        )
+    )
+
+
+def encode_corpus_sharded_lanes(
+    pcm_lanes, states, *, bits: int, search: bool, mesh: Mesh,
+    axis: str = "dp"
+):
+    """Lane-sharded corpus encode: files x channels lanes split over the
+    mesh's data-parallel axis; each device runs the 80-profile search (or
+    truncation) plus bit-pack on its own lanes, zero communication —
+    the encode mirror of :func:`decode_corpus_sharded_lanes`.
+
+    Args:
+      pcm_lanes: int-like ``[B, 32, L]`` lane-major samples (zero-padded
+        final block), host-staged.
+      states:    ``int32[L, 2]`` initial predictor state per lane.
+
+    Lanes are padded to the axis size; the pad is trimmed before return.
+
+    Returns raw XA blocks ``uint8[B, L, block_size]``.
+    """
+    n_shard = mesh.shape[axis]
+    B, ns, L = pcm_lanes.shape
+    pad = (-L) % n_shard
+    if pad:
+        pcm_lanes = np.concatenate(
+            [pcm_lanes, np.zeros((B, ns, pad), pcm_lanes.dtype)], axis=2
+        )
+        states = np.concatenate(
+            [states, np.zeros((pad, 2), np.int32)], axis=0
+        )
+    fn = _corpus_encode_fn(mesh, axis, bits, search)
+    blocks = fn(
+        jnp.asarray(pcm_lanes, jnp.int32), jnp.asarray(states, jnp.int32)
+    )
+    if pad:
+        blocks = blocks[:, :L]
+    return blocks
+
+
 # --------------------------------------------------------------------------
 # sequence parallel over one stream's block range
 # --------------------------------------------------------------------------

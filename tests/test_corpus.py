@@ -158,6 +158,40 @@ def test_encode_corpus_matches_per_file(tmp_path, search):
     assert res2.converted == 0 and res2.skipped == len(cases)
 
 
+def test_encode_corpus_on_mesh(tmp_path):
+    """Mesh-sharded corpus encode is byte-identical to per-file encode."""
+    import jax
+
+    from bjxa_tpu.api import encode_pcm
+    from bjxa_tpu.parallel.corpus import encode_corpus
+    from bjxa_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(23)
+    src = tmp_path / "wav"
+    out = tmp_path / "xa"
+    src.mkdir()
+    cases = {}
+    for i, (channels, samples) in enumerate(
+        [(1, 333), (2, 333), (2, 64), (1, 512)]
+    ):
+        pcm = rng.integers(-32768, 32768, size=(samples, channels)).astype(
+            np.int16
+        )
+        _write_wav(src / f"f{i}.wav", pcm)
+        cases[f"f{i}"] = pcm
+
+    mesh = make_mesh(jax.devices(), dp=8, sp=1)
+    res = encode_corpus(
+        src, out, bits=6, search=False, bucket_granularity=4, mesh=mesh
+    )
+    assert res.converted == len(cases), res.failed
+    for name, pcm in cases.items():
+        want = encode_pcm(pcm, 44100, 6, search=False)
+        assert (out / f"{name}.xa").read_bytes() == want, name
+
+
 def test_encode_corpus_roundtrip(tmp_path):
     """Corpus encode -> corpus decode round-trips with bounded error."""
     from bjxa_tpu.parallel.corpus import decode_corpus, encode_corpus
