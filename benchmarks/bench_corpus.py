@@ -79,6 +79,38 @@ def main():
     dt = time.perf_counter() - t0
     assert res.converted == n_files, res
     total_samples = n_files * samples * channels
+    wav_bytes = total_samples * 2 + n_files * 44
+
+    # --- link ablation: raw host<->device bandwidth ----------------------
+    # The corpus engine ships the XA payload up and 4-8x that back down as
+    # PCM; on a thin serialized link (this environment's ~tens-of-MB/s
+    # tunnel; PCIe on a real host) the roofline is
+    #     dt_min = bytes_up/up_bw + bytes_down/down_bw
+    # and utilization = dt_min/dt tells whether the engine or the link is
+    # the idle party.
+    import jax
+    import jax.numpy as jnp
+
+    base = jnp.zeros(batch_files * channels * samples, jnp.int16)
+    down, up = [], []
+    host_buf = np.zeros(base.size, np.int16)
+    for r in range(3):
+        # a fresh device array per rep — rereading one array returns the
+        # runtime's cached host copy and measures nothing
+        buf = (base + r).block_until_ready()
+        t = time.perf_counter()
+        np.asarray(buf)
+        down.append(time.perf_counter() - t)
+        host_buf[0] = r  # fresh host bytes so nothing is deduplicated
+        t = time.perf_counter()
+        jax.device_put(host_buf).block_until_ready()
+        up.append(time.perf_counter() - t)
+    nbytes = base.size * 2
+    down_mb_s = nbytes / min(down) / 1e6
+    up_mb_s = nbytes / min(up) / 1e6
+    xa_bytes = n_files * (32 + data_len)
+    dt_min = xa_bytes / 1e6 / up_mb_s + wav_bytes / 1e6 / down_mb_s
+    corpus_mb_s = wav_bytes / dt / 1e6
 
     print(
         json.dumps(
@@ -90,6 +122,12 @@ def main():
                 "files": n_files,
                 "samples_per_file": samples * channels,
                 "gen_s": round(gen_s, 1),
+                "link_down_mb_per_s": round(down_mb_s, 1),
+                "link_up_mb_per_s": round(up_mb_s, 1),
+                "corpus_mb_out_per_s": round(corpus_mb_s, 1),
+                "link_roofline_s": round(dt_min, 2),
+                "link_utilization": round(dt_min / dt, 3),
+                "backend": jax.default_backend(),
                 "vs_baseline": round((n_files / dt) / 77.0, 2),
             }
         )

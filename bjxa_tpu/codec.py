@@ -45,6 +45,7 @@ from bjxa_tpu.format.xa import (
 )
 from bjxa_tpu.format.riff import RIFF_HEADER_SIZE
 from bjxa_tpu.ops import numpy_ref
+from bjxa_tpu.ops.tables import NUM_FACTORS
 
 
 @dataclasses.dataclass
@@ -185,25 +186,27 @@ class Decoder:
             out = flat[: done * BLOCK_SAMPLES]
             failed = done < n
         else:
-            out = np.empty((n, BLOCK_SAMPLES, fmt.channels), np.int16)
-            done, failed = 0, False
-            for i in range(n):
-                # channel-sequential, like src/libbjxa.c:633-646: a failure
-                # in the right channel leaves the left channel advanced.
-                try:
-                    for c in range(fmt.channels):
-                        profile = int(blocks[i, c, 0])
-                        unpacked = numpy_ref.unpack_blocks(
-                            blocks[i, c, 1:], fmt.bits
-                        )
-                        out[i, :, c] = numpy_ref.filter_block(
-                            unpacked, profile, state[c]
-                        )
-                except BjxaProtocolError:
-                    failed = True
-                    break
-                done += 1
-            out = out.reshape(-1, fmt.channels)[: done * BLOCK_SAMPLES]
+            factors = blocks[:, :, 0].astype(np.int32) >> 4  # [n, C]
+            bad = factors >= NUM_FACTORS
+            failed = bool(bad.any())
+            done = int(bad.any(axis=1).argmax()) if failed else n
+            if done:
+                out = numpy_ref.decode_lanes_fixpoint(
+                    blocks[:done], fmt.bits, state
+                )
+            else:
+                out = np.empty((0, fmt.channels), np.int16)
+            if failed:
+                # channel-sequential, like src/libbjxa.c:633-646: channels
+                # before the failing one in the bad block still advance.
+                c_bad = int(bad[done].argmax())
+                for c in range(c_bad):
+                    unpacked = numpy_ref.unpack_blocks(
+                        blocks[done, c, 1:], fmt.bits
+                    )
+                    numpy_ref.filter_block(  # advances state[c]
+                        unpacked, int(blocks[done, c, 0]), state[c]
+                    )
 
         emitted = 0
         for _ in range(done):

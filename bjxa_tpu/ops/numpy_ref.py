@@ -139,6 +139,80 @@ def decode_channel(
     return out.reshape(-1)
 
 
+def _filter_lanes_pass(vals, shifts, k0, k1, state_in):
+    """One vectorized 32-step filter pass over independent lanes.
+
+    ``vals`` int32[L, 32] unpacked samples, ``shifts/k0/k1`` int32[L],
+    ``state_in`` int32[L, 2].  Returns ``(out int32[L, 32],
+    end_state int32[L, 2])`` — bit-exact per lane given its input state.
+    """
+    p0 = state_in[:, 0].astype(np.int64)
+    p1 = state_in[:, 1].astype(np.int64)
+    out = np.empty_like(vals)
+    for n in range(BLOCK_SAMPLES):
+        gain = p0 * k0 + p1 * k1
+        q = np.abs(gain) >> 8  # C division truncates toward zero
+        sample = (vals[:, n] >> shifts) + np.where(gain >= 0, q, -q)
+        np.clip(sample, INT16_MIN, INT16_MAX, out=sample)
+        out[:, n] = sample
+        p1 = p0
+        p0 = sample
+    return out, np.stack([p0, p1], axis=-1).astype(np.int32)
+
+
+def decode_lanes_fixpoint(
+    blocks: np.ndarray, bits: int, state: np.ndarray
+) -> np.ndarray:
+    """Decode all blocks of all channels with blocks-as-lanes fixed point.
+
+    The batched analog of :func:`decode_channel`: every (block, channel)
+    becomes an independent lane, the vectorized filter runs all lanes at
+    once from guessed input states, and the per-channel block chain
+    (``end_state[i-1] -> in_state[i]``) iterates to a fixed point — the
+    numpy mirror of the device chunk fixed point
+    (:func:`bjxa_tpu.ops.decode.fixpoint_lanes_core`), exact because a
+    pass whose input states already match the serial decode reproduces
+    the serial outputs, so the correct prefix grows every pass (typically
+    2-3 passes total).  Turns the block-streaming fallback from a Python
+    loop per sample into ~32 numpy vector ops per pass.
+
+    ``blocks``: ``uint8[B, C, block_size]`` (valid profiles only);
+    ``state``: ``int32[C, 2]``, updated in place to the end state.
+    Returns ``int16[B * 32, C]`` interleaved frames.
+    """
+    B, C, _ = blocks.shape
+    profiles = blocks[:, :, 0].astype(np.int32)  # [B, C]
+    factors = profiles >> 4
+    if (factors >= NUM_FACTORS).any():
+        raise BjxaProtocolError("invalid block profile factor")
+    vals = unpack_blocks(blocks[:, :, 1:], bits)  # int32[B, C, 32]
+    lanes = B * C
+    vals = vals.reshape(lanes, BLOCK_SAMPLES)
+    shifts = (profiles & 0x0F).reshape(lanes).astype(np.int64)
+    k0 = GAIN_K0[factors].reshape(lanes).astype(np.int64)
+    k1 = GAIN_K1[factors].reshape(lanes).astype(np.int64)
+
+    st_in = np.zeros((B, C, 2), np.int32)
+    st_in[0] = state
+    for _ in range(B):
+        out, st_end = _filter_lanes_pass(
+            vals, shifts, k0, k1, st_in.reshape(lanes, 2)
+        )
+        st_end = st_end.reshape(B, C, 2)
+        nxt = st_in.copy()
+        nxt[1:] = st_end[:-1]
+        if (nxt == st_in).all():
+            break
+        st_in = nxt
+    state[:] = st_end[-1]
+    return (
+        out.reshape(B, C, BLOCK_SAMPLES)
+        .transpose(0, 2, 1)
+        .reshape(B * BLOCK_SAMPLES, C)
+        .astype(np.int16)
+    )
+
+
 def encode_truncate_block(pcm: np.ndarray, bits: int) -> tuple[int, np.ndarray]:
     """Reference-compatible "encoder": profile 0, keep top bits only
     (``src/libbjxa.c:665-691``).  ``pcm``: int16[<=32]; zero-padded.

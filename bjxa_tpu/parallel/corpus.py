@@ -55,9 +55,15 @@ def _run_pipelined(groups, batch_files, submit, flush, depth: int = 3):
 
     inflight: deque = deque()
     for key, items in sorted(groups.items()):
+        # Every chunk of a group stages the same lane count (the group's
+        # largest chunk) so the remainder chunk reuses the compiled
+        # program; groups smaller than a full batch pad only to their own
+        # size, not to batch_files (tiny corpora would otherwise ship
+        # mostly-zero lanes over the host link).
+        n_alloc = min(batch_files, len(items))
         for start in range(0, len(items), batch_files):
             chunk = items[start : start + batch_files]
-            inflight.append(submit(*key, chunk))
+            inflight.append(submit(*key, chunk, n_alloc))
             if len(inflight) >= max(depth, 1):
                 flush(inflight.popleft())
     while inflight:
@@ -149,14 +155,13 @@ def decode_corpus(
     # dispatched (JAX dispatch is asynchronous) before earlier results
     # are materialized and written, so host staging, device compute, and
     # device->host PCM transfer of several batches overlap.
-    def submit(bits, channels, bucket, chunk):
+    def submit(bits, channels, bucket, chunk, n_alloc):
         size = bits * 4 + 1
         n = len(chunk)
-        # Stage a FIXED lane count per group (batch_files worth) so the
-        # remainder chunk reuses the full batch's compiled program instead
-        # of costing a fresh XLA/Mosaic compile per distinct chunk size;
+        # n_alloc (>= n, fixed per group by the pipeline driver) pads the
+        # remainder chunk to the group's staging width so it reuses the
+        # compiled program instead of costing a fresh XLA/Mosaic compile;
         # pad lanes are all-zero (profile 0 = valid) and nearly free.
-        n_alloc = batch_files if n < batch_files else n
         states = np.zeros((n_alloc * channels, 2), np.int32)
         if mesh is not None:
             # Sharded path keeps the lane-major uint8 staging.
@@ -327,11 +332,10 @@ def encode_corpus(
         key = (rf.channels, _bucket(nblocks, bucket_granularity))
         groups.setdefault(key, []).append((path, rf, pcm))
 
-    def submit(channels, bucket, chunk):
+    def submit(channels, bucket, chunk, n_alloc):
         n = len(chunk)
         # Fixed lane count per group (see decode_corpus.submit): the
         # remainder chunk reuses the full batch's compiled program.
-        n_alloc = batch_files if n < batch_files else n
         lanes = np.zeros(
             (bucket, BLOCK_SAMPLES, n_alloc * channels), np.int16
         )

@@ -268,6 +268,25 @@ def test_corpus_action(tmp_path, fixture_dir):
     assert b"skipped 2" in stdout
 
 
+def test_corpus_action_trace_and_stats(tmp_path, fixture_dir):
+    """--trace captures a jax.profiler trace directory; --stats prints
+    throughput rates."""
+    src = tmp_path / "xa"
+    out = tmp_path / "wav"
+    trace = tmp_path / "trace"
+    src.mkdir()
+    (src / "a.xa").write_bytes(
+        (fixture_dir / "square-mono-4.xa").read_bytes()
+    )
+    code, stdout, err = run_cli(
+        ["corpus", "--trace", str(trace), "--stats", str(src), str(out)]
+    )
+    assert code == 0, err
+    assert b"files_per_s" in stdout and b"msamples_per_s" in stdout
+    produced = [p for p in trace.rglob("*") if p.is_file()]
+    assert produced, "no trace files captured"
+
+
 def test_corpus_action_bad_args(tmp_path):
     code, _, err = run_cli(["corpus", str(tmp_path)])
     assert code == 1

@@ -54,6 +54,27 @@ def test_sequential_matches_oracle(bits, channels, wild):
 
 @pytest.mark.parametrize("bits", [4, 6, 8])
 @pytest.mark.parametrize("channels", [1, 2])
+@pytest.mark.parametrize("wild", [False, True])
+def test_numpy_lanes_fixpoint_matches_oracle(bits, channels, wild):
+    """The vectorized blocks-as-lanes numpy fixpoint (the batched
+    streaming fallback) is bit-exact vs the serial oracle, including
+    saturation-heavy profiles and nonzero header seeds."""
+    rng = np.random.default_rng(4321 + bits * channels + wild)
+    blocks = random_blocks(rng, channels, 53, bits, wild)
+    state = rng.integers(-32768, 32768, size=(channels, 2)).astype(np.int32)
+    st = state.copy()
+    got = numpy_ref.decode_lanes_fixpoint(
+        blocks.transpose(1, 0, 2), bits, st
+    )
+    ref_pcm, ref_state = oracle_decode(blocks, bits, state)
+    np.testing.assert_array_equal(
+        got, ref_pcm.reshape(-1, channels).astype(np.int16)
+    )
+    np.testing.assert_array_equal(st, ref_state)
+
+
+@pytest.mark.parametrize("bits", [4, 6, 8])
+@pytest.mark.parametrize("channels", [1, 2])
 @pytest.mark.parametrize("nblocks,chunks", [(64, 8), (100, 7), (33, 32)])
 def test_fixpoint_matches_sequential(bits, channels, nblocks, chunks):
     rng = np.random.default_rng(99 * bits + nblocks + channels)
