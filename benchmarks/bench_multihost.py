@@ -37,6 +37,13 @@ def free_port() -> int:
 
 
 def make_corpus(src: pathlib.Path, n_files: int, samples: int) -> None:
+    import jax
+
+    # corpus generation is setup, not measurement — keep it off the chip
+    # (an uncached TPU compile of the encode shape costs minutes through
+    # a remote-compile tunnel and can starve the workers)
+    jax.config.update("jax_platforms", "cpu")
+
     import numpy as np
 
     from bjxa_tpu.api import encode_pcm

@@ -252,7 +252,7 @@ def decode_corpus(
         converted=converted,
         skipped=skipped,
         failed=failed,
-        counters=counters,
+        counters=counters.freeze(),
     )
 
 
@@ -406,5 +406,5 @@ def encode_corpus(
         converted=converted,
         skipped=skipped,
         failed=failed,
-        counters=counters,
+        counters=counters.freeze(),
     )

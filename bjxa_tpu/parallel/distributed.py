@@ -90,7 +90,46 @@ def initialize(
         num_processes=num_processes,
         process_id=process_id,
     )
+    _enable_rank_cache_writes()
     return True
+
+
+def _enable_rank_cache_writes() -> None:
+    """Let every rank write the persistent compile cache, not just rank 0.
+
+    JAX skips persistent-cache *writes* on ``process_id != 0`` (guarding
+    against write contention on shared network filesystems).  Our corpus
+    computations are process-local jits whose cache keys embed the rank's
+    own device ids, so rank 0 never produces the entries other ranks need
+    — without writes, every nonzero rank pays a full compile of every
+    shape in every job (measured: a 2-process corpus job ran rank 1 at
+    ~5x rank 0's time, reproducibly, because of exactly this).  Cache
+    directories here are host-local and writes are atomic (tmp+rename),
+    so the contention concern does not apply; keys are rank-specific so
+    ranks never collide.  Implemented as a wrapper that presents
+    ``process_id == 0`` to the write path only; degrades to a no-op if
+    JAX internals move.
+    """
+    try:
+        from jax._src import compiler as _compiler
+
+        orig = _compiler._cache_write
+        if getattr(orig, "_bjxa_rank_writes", False):  # pragma: no cover
+            return
+
+        def cache_write_all_ranks(*args, **kwargs):
+            gs = _compiler.distributed.global_state
+            saved = gs.process_id
+            gs.process_id = 0
+            try:
+                return orig(*args, **kwargs)
+            finally:
+                gs.process_id = saved
+
+        cache_write_all_ranks._bjxa_rank_writes = True
+        _compiler._cache_write = cache_write_all_ranks
+    except Exception:  # pragma: no cover - future-jax safety net
+        pass
 
 
 def process_info() -> tuple[int, int]:
@@ -161,15 +200,11 @@ def allreduce_counters(counters: Counters) -> Counters:
     )
     tot = rows[:, :5].sum(axis=0)
     slowest = float(rows[:, 5].max()) / 1e9
-    import time
-
-    return dataclasses.replace(
-        Counters(
-            files=int(tot[0]),
-            blocks=int(tot[1]),
-            samples=int(tot[2]),
-            bytes_in=int(tot[3]),
-            bytes_out=int(tot[4]),
-        ),
-        started_at=time.perf_counter() - slowest,
+    return Counters(
+        files=int(tot[0]),
+        blocks=int(tot[1]),
+        samples=int(tot[2]),
+        bytes_in=int(tot[3]),
+        bytes_out=int(tot[4]),
+        frozen_s=slowest,
     )

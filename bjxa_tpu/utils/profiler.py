@@ -22,8 +22,21 @@ class Counters:
     bytes_in: int = 0
     bytes_out: int = 0
     started_at: float = dataclasses.field(default_factory=time.perf_counter)
+    frozen_s: float | None = None
+
+    def freeze(self) -> "Counters":
+        """Stop the clock: rates computed later report the span up to now.
+
+        The corpus engine freezes its counters when conversion finishes so
+        post-run work (cross-host collectives that block on the slowest
+        sibling, host-side printing) cannot inflate the reported elapsed.
+        """
+        self.frozen_s = self.elapsed()
+        return self
 
     def elapsed(self) -> float:
+        if self.frozen_s is not None:
+            return self.frozen_s
         return max(time.perf_counter() - self.started_at, 1e-9)
 
     def rates(self) -> dict:

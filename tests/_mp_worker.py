@@ -8,8 +8,15 @@ reduction, and reports what it did as one JSON line on stdout.
 """
 
 import json
+import os
 import pathlib
 import sys
+
+if os.environ.get("BJXA_COV_DIR"):  # parent is tools/coverage_run.py
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "tools"))
+    import covlib
+
+    covlib.start_from_env()
 
 import jax
 

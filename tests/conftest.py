@@ -20,7 +20,11 @@ os.environ["XLA_FLAGS"] = (
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# BJXA_TEST_TPU=1 keeps the real accelerator (used by the TPU-backend
+# coverage pass to exercise device-dispatch branches); default is the
+# virtual CPU mesh.
+if not os.environ.get("BJXA_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 # Persist XLA compilations across pytest runs: the suite is dominated by
 # CPU-backend compiles of large static shapes, which never change between
 # runs of the same code.  Safe because the cache key covers the HLO.

@@ -339,3 +339,78 @@ def test_corpus_decode_rejects_encode_flags(tmp_path):
     assert code == 1 and "require --encode" in err
     code, _, err = run_cli(["corpus", "--truncate", str(tmp_path), str(tmp_path)])
     assert code == 1 and "require --encode" in err
+
+
+# -- driver error paths -------------------------------------------------------
+
+
+def test_decode_streaming_truncated(fixture_dir):
+    data = (fixture_dir / "square-mono-4.xa").read_bytes()
+    code, _, err = run_cli(["decode", "--streaming"], stdin=data[:200])
+    assert code == 1
+    assert "End of file" in err
+
+
+def test_encode_driver_errors(tmp_path):
+    # short RIFF header
+    code, _, err = run_cli(["encode"], stdin=b"RIFF")
+    assert code == 1 and "bjxa_fread_riff_header" in err
+    # malformed RIFF header
+    code, _, err = run_cli(["encode"], stdin=b"JUNK" + bytes(40))
+    assert code == 1 and "bjxa_fread_riff_header" in err
+    # truncated PCM body
+    from bjxa_tpu.format import dump_riff_header
+
+    hdr = dump_riff_header(1024, 44100, 1)
+    code, _, err = run_cli(["encode"], stdin=hdr + bytes(10))
+    assert code == 1 and "End of file" in err
+    # invalid --bits
+    code, _, err = run_cli(["encode", "--bits", "5", "a", "b"])
+    assert code == 1 and "Invalid number of bits" in err
+    # too many positional args
+    code, _, err = run_cli(["encode", "a", "b", "c"])
+    assert code == 1 and "Too many arguments" in err
+    # unreadable input path
+    code, _, err = run_cli(["encode", str(tmp_path / "missing.wav")])
+    assert code == 1
+
+
+def test_corpus_option_errors(tmp_path):
+    ok = [str(tmp_path), str(tmp_path)]
+    for bad in (
+        ["corpus", "--coordinator"] + ok,
+        ["corpus", "--num-processes", "0"] + ok,
+        ["corpus", "--num-processes", "x"] + ok,
+        ["corpus", "--process-id", "-1"] + ok,
+        ["corpus", "--manifest"] + ok,
+        ["corpus", "--trace"] + ok,
+        ["corpus", "--batch-files", "0"] + ok,
+        ["corpus", "--bits", "6"] + ok,  # requires --encode
+        ["corpus", "--truncate"] + ok,  # requires --encode
+        ["corpus", "--what"] + ok,
+    ):
+        code, _, err = run_cli(bad)
+        assert code == 1, bad
+        assert err, bad
+
+
+def test_corpus_encode_action(tmp_path):
+    import numpy as np
+
+    from bjxa_tpu.api import encode_pcm
+    from bjxa_tpu.format import dump_pcm, dump_riff_header
+
+    src = tmp_path / "wav"
+    out = tmp_path / "xa"
+    src.mkdir()
+    pcm = (np.arange(100, dtype=np.int16) * 99)[:, None]
+    (src / "t.wav").write_bytes(
+        dump_riff_header(pcm.size * 2, 44100, 1) + dump_pcm(pcm)
+    )
+    code, stdout, err = run_cli(
+        ["corpus", "--encode", "--bits", "8", "--truncate", str(src), str(out)]
+    )
+    assert code == 0, err
+    assert (out / "t.xa").read_bytes() == encode_pcm(
+        pcm, 44100, 8, search=False
+    )

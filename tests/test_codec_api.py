@@ -265,3 +265,148 @@ def test_encoder_streaming_matches_whole(tmp_path):
     )
     streamed = enc.dump_header() + enc.encode(sig)
     assert streamed == whole
+
+
+# -- misuse paths around file objects ----------------------------------------
+
+
+def test_decoder_file_misuse(tmp_path):
+    dec = ready_decoder()
+    with pytest.raises(BjxaFault):
+        dec.read_header(None)
+    with pytest.raises(BjxaFault):
+        dec.decode(None)
+    with pytest.raises(BjxaFault):
+        dec.write_pcm(np.zeros((4, 2), np.int16), None)
+    ro = tmp_path / "ro.bin"
+    ro.write_bytes(b"x")
+    with open(ro, "rb") as f:
+        with pytest.raises(BjxaBadFileError):
+            dec.write_pcm(np.zeros((4, 2), np.int16), f)
+    # objects without writable()/readable() count as unusable, not errors
+    with pytest.raises(BjxaBadFileError):
+        dec.write_pcm(np.zeros((4, 2), np.int16), object())
+
+
+def test_encoder_file_misuse(tmp_path):
+    enc = Encoder()
+    with pytest.raises(BjxaFault):
+        enc.read_riff_header(None, 6)
+    with pytest.raises(BjxaIOError):
+        enc.read_riff_header(io.BytesIO(b"RIFF"), 6)
+    enc.init(RiffFormat(data_len_pcm=64, samples_rate=44100, channels=1), 6)
+    with pytest.raises(BjxaFault):
+        enc.write_header(None)
+    ro = tmp_path / "ro.bin"
+    ro.write_bytes(b"x")
+    with open(ro, "rb") as f:
+        with pytest.raises(BjxaBadFileError):
+            enc.write_header(f)
+    with pytest.raises(BjxaFault):
+        enc.encode(None)
+    # close/misuse lifecycle
+    enc.close()
+    with pytest.raises(BjxaInvalidState):
+        enc.encode(np.zeros((32, 1), np.int16))
+    with pytest.raises(BjxaInvalidState):
+        enc.close()
+
+
+def test_encoder_accepts_raw_pcm_bytes():
+    enc = Encoder()
+    enc.init(RiffFormat(data_len_pcm=64, samples_rate=44100, channels=1), 6)
+    sig = (np.arange(32, dtype=np.int16) * 64).tobytes()
+    out = enc.encode(sig)
+    assert len(out) == enc.xa_format.block_size
+    with pytest.raises(BjxaBufferError):
+        # fresh encoder, less than one whole block of frames
+        enc2 = Encoder()
+        enc2.init(
+            RiffFormat(data_len_pcm=256, samples_rate=44100, channels=1), 6
+        )
+        enc2.encode(np.zeros((4, 1), np.int16))
+
+
+def test_decode_max_blocks():
+    from bjxa_tpu.api import encode_pcm
+
+    sig = np.arange(96, dtype=np.int16)[:, None] * 17
+    xa = encode_pcm(sig, 44100, 8, search=False)
+    dec = Decoder()
+    dec.parse_header(xa[:32])
+    fmt = dec.xa_format
+    pcm = dec.decode(xa[32:], max_blocks=1)
+    assert pcm.shape[0] == 32
+    assert dec.format().blocks == fmt.blocks - 1
+
+
+# -- no-native fallback paths -------------------------------------------------
+
+
+@pytest.fixture()
+def no_native(monkeypatch):
+    from bjxa_tpu import native
+
+    monkeypatch.setattr(native, "available", lambda: False)
+
+
+def test_fallback_streaming_matches_device(no_native):
+    """The batched numpy fallback byte-matches the whole-file device path
+    on a saturation-heavy random stream."""
+    from bjxa_tpu.api import decode_xa, encode_pcm
+
+    rng = np.random.default_rng(31)
+    sig = rng.integers(-32768, 32768, size=(32 * 7 + 5, 2)).astype(np.int16)
+    xa = encode_pcm(sig, 44100, 6, search=True)
+    _, whole = decode_xa(xa)
+    dec = Decoder()
+    dec.parse_header(xa[:32])
+    out = dec.decode(xa[32:])
+    np.testing.assert_array_equal(out, whole)
+    assert dec.format().blocks == 0
+
+
+def test_fallback_invalid_profile_semantics(no_native):
+    """Channel-sequential failure: blocks before the bad one decode, the
+    left channel of the bad block still advances (src/libbjxa.c:633-646)."""
+    hdr = hex_to_bytes(
+        """
+        4b574431 | KWD1
+        84000000 | 132 data_len (2 stereo 8-bit blocks)
+        40000000 | 64 samples
+        44ac     | 44100
+        08 02    | 8 bits stereo
+        00000000 | loop
+        0000 0000 0000 0000 | bef
+        00000000 | pad
+        """
+    )
+    dec = Decoder()
+    dec.parse_header(hdr)
+    block0 = bytes(66)
+    bad = bytearray(66)
+    bad[33] = 0xFF  # right channel invalid, left valid
+    with pytest.raises(BjxaProtocolError):
+        dec.decode(block0 + bytes(bad))
+    # block 0 decoded and counted before the failure surfaced
+    assert dec.format().blocks == 1
+
+
+def test_fallback_encoder_matches_device(no_native):
+    """Encoder fallback paths (truncate loop and device search) byte-match
+    the one-shot API in both modes."""
+    from bjxa_tpu.api import encode_pcm
+
+    rng = np.random.default_rng(32)
+    sig = rng.integers(-9000, 9000, size=(32 * 4 + 9, 2)).astype(np.int16)
+    for search in (False, True):
+        whole = encode_pcm(sig, 44100, 6, search=search)
+        enc = Encoder()
+        enc.init(
+            RiffFormat(
+                data_len_pcm=sig.size * 2, samples_rate=44100, channels=2
+            ),
+            6,
+        )
+        streamed = enc.dump_header() + enc.encode(sig, search=search)
+        assert streamed == whole, f"search={search}"

@@ -228,3 +228,32 @@ def test_encode_corpus_reports_bad_wav(tmp_path):
     res = encode_corpus(src, tmp_path / "xa")
     assert res.converted == 1
     assert "junk.wav" in next(iter(res.failed))
+
+
+def test_corpus_explicit_paths_and_truncated(tmp_path, corpus):
+    """Iterable-of-paths input and truncated-payload isolation, both
+    directions."""
+    from bjxa_tpu.parallel.corpus import decode_corpus, encode_corpus
+
+    src, expect = corpus
+    name = next(iter(expect))
+    whole = (src / f"{name}.xa").read_bytes()
+    trunc = tmp_path / "trunc.xa"
+    trunc.write_bytes(whole[:-10])
+
+    out = tmp_path / "out"
+    res = decode_corpus(
+        [src / f"{name}.xa", trunc], out, bucket_granularity=16
+    )
+    assert res.converted == 1
+    assert "truncated payload" in res.failed[str(trunc)]
+    assert (out / f"{name}.wav").read_bytes() == expect[name]
+
+    # encode direction: truncated PCM body
+    wav = tmp_path / "short.wav"
+    ok = tmp_path / "ok.wav"
+    _write_wav(ok, np.zeros((64, 1), np.int16))
+    wav.write_bytes(ok.read_bytes()[:-8])
+    res = encode_corpus([ok, wav], tmp_path / "xa", bits=6, search=False)
+    assert res.converted == 1
+    assert "truncated PCM payload" in res.failed[str(wav)]

@@ -99,3 +99,35 @@ def test_native_search_matches_device(bits, channels):
     )
     np.testing.assert_array_equal(out_native, out_device)
     np.testing.assert_array_equal(state, np.asarray(end))
+
+
+def test_native_rebuild_and_env_gate(tmp_path, monkeypatch):
+    """The on-demand compile path builds a fresh .so, and BJXA_NO_NATIVE
+    gates loading without touching the toolchain."""
+    import importlib
+
+    import bjxa_tpu.native as native
+
+    # force a fresh module state with the env gate set
+    monkeypatch.setenv("BJXA_NO_NATIVE", "1")
+    importlib.reload(native)
+    assert native.lib() is None
+    assert not native.available()
+
+    # now rebuild from source into a clean state
+    monkeypatch.delenv("BJXA_NO_NATIVE")
+    importlib.reload(native)
+    so = native._SO
+    backup = None
+    if so.exists():
+        backup = so.read_bytes()
+        so.unlink()
+    try:
+        assert native._compile(), "native compile failed"
+        assert so.exists()
+        assert native.lib() is not None
+        assert native.available()
+    finally:
+        if backup is not None and not so.exists():
+            so.write_bytes(backup)
+        importlib.reload(native)

@@ -68,3 +68,51 @@ def test_file_sp(devices, channels, nblocks):
     ref, _, _ = decode_arrays(blocks, state, bits=bits)
     np.testing.assert_array_equal(pcm, np.asarray(ref))
     assert 1 <= rounds <= 8
+
+
+def test_transcode_step_on_mesh(devices):
+    """The flagship transcode step (decode -> 80-profile re-encode -> global
+    MSE) runs sharded over a (dp, cp) mesh and its re-encoded blocks
+    byte-match the unsharded per-lane encoder."""
+    import jax.numpy as jnp
+
+    from bjxa_tpu.api import encode_pcm
+    from bjxa_tpu.parallel.mesh import make_mesh
+    from bjxa_tpu.parallel.pipeline import corpus_shardings, transcode_step
+
+    mesh = make_mesh(devices, dp=4, sp=2, axis_names=("dp", "cp"))
+    rng = np.random.default_rng(17)
+    bits, C, B, N = 6, 2, 5, 4
+    # real encoded streams so every profile is valid
+    blocks = np.stack(
+        [
+            np.frombuffer(
+                encode_pcm(
+                    rng.integers(
+                        -20000, 20000, size=(B * 32, C)
+                    ).astype(np.int16),
+                    44100,
+                    bits,
+                    search=True,
+                )[32:],
+                np.uint8,
+            ).reshape(B, C, -1).transpose(1, 0, 2)
+            for _ in range(N)
+        ]
+    )
+    states = np.zeros((N, C, 2), np.int32)
+
+    blk_sh, st_sh = corpus_shardings(mesh)
+    xa, mse = transcode_step(
+        jax.device_put(jnp.asarray(blocks), blk_sh),
+        jax.device_put(jnp.asarray(states, jnp.int32), st_sh),
+        bits=bits,
+    )
+    xa = np.asarray(xa)
+    assert xa.shape == (N, B, C, blocks.shape[-1])
+    assert float(mse) >= 0.0
+    # transcoding an already-XA-quantized signal must be lossless-stable:
+    # re-encoding the decoded PCM reproduces the original blocks exactly
+    want = blocks.transpose(0, 2, 1, 3)  # [N, B, C, S]
+    np.testing.assert_array_equal(xa, want)
+    assert float(mse) == 0.0

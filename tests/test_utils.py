@@ -67,3 +67,16 @@ def test_pad_bucket_geometric():
         cur = pad_bucket(b)
         assert cur >= prev
         prev = cur
+
+
+def test_counters_freeze():
+    import time
+
+    from bjxa_tpu.utils.profiler import Counters
+
+    c = Counters()
+    c.files = 3
+    frozen = c.freeze().elapsed()
+    time.sleep(0.02)
+    assert c.elapsed() == frozen  # post-run work cannot inflate rates
+    assert c.rates()["elapsed_s"] == frozen

@@ -9,14 +9,18 @@ is near zero; executable-line universes come from walking each module's
 code objects (``co_lines``), the same definition lcov uses.
 
 Usage:
-    python tools/coverage_run.py [pytest args...]
+    python tools/coverage_run.py [--append] [pytest args...]
     # e.g. python tools/coverage_run.py -q --slow tests/
+
+``--append`` merges into an existing ``coverage.json`` instead of
+replacing it — used to combine the CPU-mesh suite with a TPU-backend
+pass (``BJXA_TEST_TPU=1``) that exercises the device-dispatch branches.
+Subprocess workers (the multi-process distributed tests) report their
+hits through ``BJXA_COV_DIR``, which this runner exports and merges.
 
 Prints a per-file table plus a total, and writes ``coverage.json``.
 Lines marked ``# pragma: no cover`` (or inside a block whose header is
-marked) are excluded, mirroring lcov's LCOV_EXCL.  Subprocess workers
-(the multi-process distributed tests) are not traced — their behavior is
-asserted from the parent; treat the number as a lower bound.
+marked) are excluded, mirroring lcov's LCOV_EXCL.
 """
 
 from __future__ import annotations
@@ -24,19 +28,15 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PKG = os.path.join(REPO, "bjxa_tpu") + os.sep
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
-TOOL = sys.monitoring.COVERAGE_ID
-_covered: dict[str, set[int]] = {}
+import covlib  # noqa: E402
 
-
-def _line_cb(code, lineno):
-    fn = code.co_filename
-    if fn.startswith(PKG):
-        _covered.setdefault(fn, set()).add(lineno)
-    return sys.monitoring.DISABLE
+REPO = covlib.REPO
+PKG = covlib.PKG
 
 
 def _executable_lines(path: str) -> set[int]:
@@ -76,18 +76,36 @@ def main() -> int:
     # run as a script, sys.path[0] is tools/ — the tests need the repo root
     if REPO not in sys.path:
         sys.path.insert(0, REPO)
-    sys.monitoring.use_tool_id(TOOL, "bjxa-cov")
-    sys.monitoring.register_callback(
-        TOOL, sys.monitoring.events.LINE, _line_cb
-    )
-    sys.monitoring.set_events(TOOL, sys.monitoring.events.LINE)
+    args = sys.argv[1:]
+    append = "--append" in args
+    if append:
+        args = [a for a in args if a != "--append"]
+
+    cov_dir = tempfile.mkdtemp(prefix="bjxa-cov-")
+    os.environ["BJXA_COV_DIR"] = cov_dir
+
+    covlib.start()
 
     import pytest
 
-    args = sys.argv[1:] or ["-q", "tests/"]
-    rc = pytest.main(args)
+    rc = pytest.main(args or ["-q", "tests/"])
 
-    sys.monitoring.set_events(TOOL, 0)
+    covlib.stop()
+    covered = {k: set(v) for k, v in covlib.covered.items()}
+
+    # merge subprocess workers' hits
+    for name in os.listdir(cov_dir):
+        with open(os.path.join(cov_dir, name)) as f:
+            for path, lines in json.load(f).items():
+                covered.setdefault(path, set()).update(lines)
+
+    out_path = os.path.join(REPO, "coverage.json")
+    if append and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        for rel, info in prior.get("files", {}).items():
+            path = os.path.join(REPO, rel)
+            covered.setdefault(path, set()).update(info.get("hit_lines", []))
 
     rows = []
     tot_cov = tot_all = 0
@@ -97,11 +115,11 @@ def main() -> int:
                 continue
             path = os.path.join(root, name)
             exe = _executable_lines(path)
-            hit = _covered.get(path, set()) & exe
+            hit = covered.get(path, set()) & exe
             rows.append(
                 (
                     os.path.relpath(path, REPO),
-                    len(hit),
+                    sorted(hit),
                     len(exe),
                     sorted(exe - hit),
                 )
@@ -109,33 +127,38 @@ def main() -> int:
             tot_cov += len(hit)
             tot_all += len(exe)
 
-    rows.sort(key=lambda r: (r[1] / r[2] if r[2] else 1.0))
+    rows.sort(key=lambda r: (len(r[1]) / r[2] if r[2] else 1.0))
     print()
     print(f"{'file':<44} {'lines':>7} {'hit':>6} {'cov%':>6}  missing")
     for path, hit, total, missing in rows:
-        pct = 100.0 * hit / total if total else 100.0
+        pct = 100.0 * len(hit) / total if total else 100.0
         miss = ",".join(map(str, missing[:12])) + (
             ",..." if len(missing) > 12 else ""
         )
-        print(f"{path:<44} {total:>7} {hit:>6} {pct:>5.1f}%  {miss}")
+        print(f"{path:<44} {total:>7} {len(hit):>6} {pct:>5.1f}%  {miss}")
     total_pct = 100.0 * tot_cov / tot_all if tot_all else 100.0
     print(f"\nTOTAL {tot_cov}/{tot_all} = {total_pct:.1f}% line coverage")
 
-    with open(os.path.join(REPO, "coverage.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(
             {
                 "total_pct": round(total_pct, 2),
                 "covered": tot_cov,
                 "executable": tot_all,
                 "files": {
-                    p: {"hit": h, "lines": t, "missing": m}
+                    p: {
+                        "hit": len(h),
+                        "lines": t,
+                        "hit_lines": h,
+                        "missing": m,
+                    }
                     for p, h, t, m in rows
                 },
             },
             f,
             indent=1,
         )
-    print("wrote coverage.json")
+    print("wrote coverage.json" + (" (merged)" if append else ""))
     return int(rc)
 
 
