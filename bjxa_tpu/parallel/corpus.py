@@ -41,6 +41,66 @@ from bjxa_tpu.utils.progress import Manifest
 
 
 
+class _SerialWriter:
+    """One background thread running queued jobs in submission order.
+
+    The corpus engines hand each materialized batch's serialization +
+    disk writes to this thread so the main thread can immediately block
+    on the next batch's device->host transfer; ordering is preserved so
+    manifest/counter updates stay sequential.  ``__exit__`` drains the
+    queue and re-raises the first job exception in the caller.
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.SimpleQueue()
+        self._exc = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        while True:
+            job = self._q.get()
+            if job is None:
+                return
+            if self._exc is None:
+                fn, args = job
+                try:
+                    fn(*args)
+                except BaseException as e:  # surfaced in __exit__
+                    self._exc = e
+
+    def put(self, fn, *args):
+        self._q.put((fn, args))
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        self._q.put(None)
+        self._thread.join()
+        if exc_type is None and self._exc is not None:
+            raise self._exc
+        return False
+
+
+def _start_readback(*arrays):
+    """Begin device->host transfers now, without blocking.
+
+    JAX only starts a D2H copy when the host materializes the array
+    (``np.asarray``); calling ``copy_to_host_async`` at submit time lets
+    the transfer run behind subsequent batches' staging and the writer
+    thread, so the later ``np.asarray`` finds the bytes already landed.
+    No-op for plain numpy results (the CPU-backend fallback).
+    """
+    for a in arrays:
+        fn = getattr(a, "copy_to_host_async", None)
+        if fn is not None:
+            fn()
+
+
 def _run_pipelined(groups, batch_files, submit, flush, depth: int = 3):
     """Software pipeline over grouped batches, ``depth`` batches in flight.
 
@@ -180,6 +240,7 @@ def decode_corpus(
             pcm, _end, valid = decode_corpus_sharded_lanes(
                 blocks_t, states, bits=bits, mesh=mesh
             )
+            _start_readback(pcm, valid)
             return channels, bucket, chunk, pcm, valid
 
         # Single-device fast path: stage packed words (profile byte plane +
@@ -206,21 +267,11 @@ def decode_corpus(
         pcm, _end, valid = decode_batch_words(
             prof, words, states, bits=bits
         )
+        _start_readback(pcm, valid)
         return channels, bucket, chunk, pcm, valid
 
-    def flush(pending):
+    def write_batch(channels, bucket, chunk, pcm, valid):
         nonlocal converted
-        channels, bucket, chunk, pcm, valid = pending
-        # Fused path returns PCM in the kernel-native padded lane split
-        # ([Bp, 32, sub, LNp]); merging and trimming here is a free numpy
-        # view.  The fallback's flat [bucket, 32, lanes] passes through
-        # unchanged.
-        lanes_total = len(chunk) * channels
-        pcm = np.asarray(pcm)
-        pcm = pcm.reshape(pcm.shape[0], BLOCK_SAMPLES, -1)[
-            :bucket, :, :lanes_total
-        ]
-        valid = np.asarray(valid)  # [bucket, lanes]
         for i, (path, fmt, payload) in enumerate(chunk):
             lanes = slice(i * channels, (i + 1) * channels)
             if not valid[: fmt.blocks, lanes].all():
@@ -246,7 +297,24 @@ def decode_corpus(
             counters.bytes_in += fmt.data_len
             counters.bytes_out += len(wav)
 
-    _run_pipelined(groups, batch_files, submit, flush)
+    def flush(pending):
+        channels, bucket, chunk, pcm, valid = pending
+        # Fused path returns PCM in the kernel-native padded lane split
+        # ([Bp, 32, sub, LNp]); merging and trimming here is a free numpy
+        # view.  The fallback's flat [bucket, 32, lanes] passes through
+        # unchanged.
+        lanes_total = len(chunk) * channels
+        pcm = np.asarray(pcm)  # lands the (already-started) D2H transfer
+        pcm = pcm.reshape(pcm.shape[0], BLOCK_SAMPLES, -1)[
+            :bucket, :, :lanes_total
+        ]
+        valid = np.asarray(valid)  # [bucket, lanes]
+        # WAV serialization + disk writes run on the writer thread so the
+        # next batch's transfer is not stalled behind file I/O.
+        writer.put(write_batch, channels, bucket, chunk, pcm, valid)
+
+    with _SerialWriter() as writer:
+        _run_pipelined(groups, batch_files, submit, flush)
 
     return CorpusResult(
         converted=converted,
@@ -352,6 +420,7 @@ def encode_corpus(
             blocks = encode_corpus_sharded_lanes(
                 lanes, states0, bits=bits, search=search, mesh=mesh
             )
+            _start_readback(blocks)
             return channels, chunk, blocks
         lanes_d = jnp.asarray(lanes)
         if search:
@@ -365,12 +434,11 @@ def encode_corpus(
         blocks = deflate_blocks(
             profiles, coded.transpose(0, 2, 1), bits
         )  # uint8[B, L, S]
+        _start_readback(blocks)
         return channels, chunk, blocks
 
-    def flush(pending):
+    def write_batch(channels, chunk, blocks):
         nonlocal converted
-        channels, chunk, blocks = pending
-        blocks = np.asarray(blocks)  # [bucket, lanes, S]
         for i, (path, rf, pcm) in enumerate(chunk):
             ln = slice(i * channels, (i + 1) * channels)
             nblocks = -(-pcm.shape[0] // BLOCK_SAMPLES)
@@ -400,7 +468,13 @@ def encode_corpus(
             counters.bytes_in += rf.data_len_pcm
             counters.bytes_out += len(xa)
 
-    _run_pipelined(groups, batch_files, submit, flush)
+    def flush(pending):
+        channels, chunk, blocks = pending
+        blocks = np.asarray(blocks)  # [bucket, lanes, S]
+        writer.put(write_batch, channels, chunk, blocks)
+
+    with _SerialWriter() as writer:
+        _run_pipelined(groups, batch_files, submit, flush)
 
     return CorpusResult(
         converted=converted,

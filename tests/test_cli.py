@@ -394,7 +394,7 @@ def test_corpus_option_errors(tmp_path):
         assert err, bad
 
 
-def test_corpus_encode_action(tmp_path):
+def test_corpus_encode_truncate_action(tmp_path):
     import numpy as np
 
     from bjxa_tpu.api import encode_pcm
