@@ -156,10 +156,9 @@ def _decode_stream(fin, fout, streaming: bool) -> int:
 
     payload = fin.read(fmt.data_len)
     if payload is None or len(payload) < fmt.data_len:
-        sys.stderr.write("fread: End of file\n")
-        return 1
+        return _decode_truncated(fout, payload or b"", fmt)
 
-    from bjxa_tpu.ops.decode import blocks_from_bytes, decode_bytes
+    from bjxa_tpu.ops.decode import decode_bytes
 
     try:
         pcm = decode_bytes(payload, fmt)
@@ -175,14 +174,49 @@ def _decode_stream(fin, fout, streaming: bool) -> int:
     return 0
 
 
-def _decode_valid_prefix(payload, fmt):
-    """Frames of the effective blocks preceding the first invalid profile."""
-    from bjxa_tpu.ops.decode import blocks_from_bytes, decode_arrays
+def _decode_truncated(fout, payload, fmt):
+    """Short payload: emit the complete effective blocks that did arrive.
 
-    blocks = blocks_from_bytes(payload, fmt)
-    frames, _end, valid = decode_arrays(
-        blocks, fmt.initial_state_array(), bits=fmt.bits
-    )
+    Byte-parity with the reference's streaming loop
+    (``src/bjxa_decode.c:122-152``): each complete block present decodes
+    and writes before the short ``fread`` fails — and an invalid profile
+    inside that prefix fails with the protocol error first.
+    """
+    from bjxa_tpu.ops.decode import decode_bytes_validity
+
+    avail = len(payload) // fmt.block_size_xa
+    if avail:
+        # zero pad = valid profile-0 dummy blocks; trimmed below
+        padded = (
+            bytes(payload[: avail * fmt.block_size_xa])
+            + bytes(fmt.data_len - avail * fmt.block_size_xa)
+        )
+        frames, valid = decode_bytes_validity(padded, fmt)
+        v = np.asarray(valid).all(axis=1)
+        first_bad = int(np.argmin(v)) if not v.all() else len(v)
+        good = min(first_bad, avail)
+        limit = fmt.data_len_pcm // (2 * fmt.channels)
+        out = np.asarray(frames[: min(good * 32, limit)])
+        if out.size:
+            fout.write(dump_pcm(out))
+        if first_bad < avail:
+            _perror("bjxa_decode", BjxaProtocolError("invalid profile"))
+            return 1
+    sys.stderr.write("fread: End of file\n")
+    return 1
+
+
+def _decode_valid_prefix(payload, fmt):
+    """Frames of the effective blocks preceding the first invalid profile.
+
+    Runs through the same block-count-bucketed pipeline as the happy path
+    (:func:`bjxa_tpu.ops.decode.decode_bytes_validity`), so a corrupt
+    corpus reuses the already-compiled programs instead of compiling a
+    fresh exact-shape program per malformed file.
+    """
+    from bjxa_tpu.ops.decode import decode_bytes_validity
+
+    frames, valid = decode_bytes_validity(payload, fmt)
     v = np.asarray(valid).all(axis=1)
     good = int(np.argmin(v)) if not v.all() else len(v)
     frames = np.asarray(frames[: good * 32])
@@ -246,8 +280,7 @@ def _encode_stream(fin, fout, bits: int, search: bool) -> int:
 
     body = fin.read(rf.data_len_pcm)
     if body is None or len(body) < rf.data_len_pcm:
-        sys.stderr.write("fread: End of file\n")
-        return 1
+        return _encode_truncated(fout, body or b"", rf, bits, search)
 
     from bjxa_tpu.api import encode_pcm
 
@@ -260,6 +293,32 @@ def _encode_stream(fin, fout, bits: int, search: bool) -> int:
         return 1
     fout.write(xa)
     return 0
+
+
+def _encode_truncated(fout, body, rf, bits: int, search: bool) -> int:
+    """Short PCM body: write the XA header and the complete blocks that
+    did arrive, then fail like the reference's streaming loop
+    (``src/bjxa_encode.c:108-160`` writes the header before reading
+    blocks, so truncated input still produces a prefix).
+    """
+    from bjxa_tpu.codec import Encoder
+    from bjxa_tpu.errors import BjxaBufferError
+
+    enc = Encoder()
+    try:
+        enc.init(rf, bits)
+    except BjxaError as e:
+        _perror("bjxa_encode_init", e)
+        return 1
+    fout.write(enc.dump_header())
+    frame_bytes = 2 * rf.channels
+    avail = body[: len(body) // frame_bytes * frame_bytes]
+    try:
+        fout.write(enc.encode(avail, search=search))
+    except BjxaBufferError:
+        pass  # not even one whole block arrived
+    sys.stderr.write("fread: End of file\n")
+    return 1
 
 
 def _cmd_corpus(args: list[str], prog: str) -> int:

@@ -208,12 +208,13 @@ class Decoder:
                         unpacked, int(blocks[done, c, 0]), state[c]
                     )
 
-        emitted = 0
-        for _ in range(done):
-            frames = min(BLOCK_SAMPLES, self._pcm_left // (2 * fmt.channels))
-            self._pcm_left -= frames * 2 * fmt.channels
-            self._blocks_left -= 1
-            emitted += frames
+        # per-block this is frames = min(32, pcm_left // frame_bytes),
+        # decremented block by block; full blocks take 32 until the
+        # promised tail, so the sum closes to one min()
+        emitted = min(done * BLOCK_SAMPLES,
+                      self._pcm_left // (2 * fmt.channels))
+        self._pcm_left -= emitted * 2 * fmt.channels
+        self._blocks_left -= done
         if failed:
             raise BjxaProtocolError(
                 f"invalid block profile factor in block {done}"

@@ -482,6 +482,61 @@ def trim_padded_lanes(pcm: jnp.ndarray, B: int, L: int,
     return pcm.reshape(Bp, ns, sub * LNp)[:B, :, :L]
 
 
+def packed_layout(blocks: int, lanes: int, bits: int):
+    """Element offsets of the single-buffer batch staging layout.
+
+    A corpus batch ships host->device as ONE int32 buffer concatenating
+    the three logical inputs of :func:`decode_batch_words`:
+
+    ``[words int32[B, bits, L] | prof bytes packed 4/int32 | state int32[L, 2]]``
+
+    Returns ``(n_words, n_prof_words, n_state)`` element counts.  One
+    transfer instead of three matters on thin host<->device links: each
+    transfer and each dispatch costs a fixed round trip (~24 ms through
+    this environment's tunnel, measured by ``tools/link_probe.py``), so a
+    link-bound corpus engine pays 3x the fixed cost for split inputs.
+    """
+    n_words = blocks * bits * lanes
+    n_prof = -(-(blocks * lanes) // 4)
+    return n_words, n_prof, lanes * 2
+
+
+@partial(jax.jit, static_argnames=("bits", "blocks", "lanes"))
+def decode_batch_packed(buf: jnp.ndarray, *, bits: int, blocks: int,
+                        lanes: int):
+    """Decode one corpus batch from a single packed int32 staging buffer.
+
+    Single-transfer twin of :func:`decode_batch_words` (layout:
+    :func:`packed_layout`).  Returns the PCM only: profile validity is the
+    host's job (it staged the profile bytes, so ``(prof >> 4) < 5`` costs
+    it nothing), and the end state is unused by corpus decode — returning
+    them would add device->host transfers to a link-bound pipeline.
+
+    The PCM is always trimmed to ``[blocks, 32, lanes]`` on device
+    (``waste_factor=1``): on a link-bound engine, shipping kernel lane/
+    block padding costs far more than the device-side relayout copy.
+    """
+    B, W, L = blocks, bits, lanes
+    nw, npr, _nst = packed_layout(B, L, bits)
+    words = buf[:nw].reshape(B, W, L)
+    pw = lax.bitcast_convert_type(buf[nw : nw + npr], jnp.uint32)
+    pb = jnp.stack([(pw >> (8 * q)) & 0xFF for q in range(4)], axis=-1)
+    prof = pb.reshape(-1)[: B * L].astype(jnp.uint8).reshape(B, L)
+    state = buf[nw + npr :].reshape(L, 2)
+    from bjxa_tpu.ops.filter import _fused_default
+
+    if _fused_default():
+        from bjxa_tpu.ops.pallas_decode import fused_decode_words_padded
+
+        pcm, _end = fused_decode_words_padded(prof, words, state, bits=bits)
+        pcm = trim_padded_lanes(pcm, B, L, waste_factor=1)
+    else:
+        blocks_t = words_to_blocks(prof, words, bits=bits)
+        profiles, samples = inflate_lanes(blocks_t, bits)
+        pcm, _end, _v = decode_lanes(profiles, samples, state)
+    return pcm
+
+
 @partial(jax.jit, static_argnames=("bits",))
 def decode_batch_words(prof: jnp.ndarray, words: jnp.ndarray,
                        state: jnp.ndarray, *, bits: int):
@@ -620,25 +675,23 @@ def check_valid(valid: np.ndarray, channels: int) -> None:
     )
 
 
-def decode_bytes(
+def decode_bytes_validity(
     payload: bytes | memoryview,
     fmt: XAFormat,
     *,
     parallel: bool = True,
     min_chunk_blocks: int = 8,
     max_chunks: int = 4096,
-) -> np.ndarray:
-    """Decode one XA payload to interleaved PCM ``int16[samples, C]``.
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode one XA payload without raising on invalid profiles.
 
-    Chooses the chunk-parallel fixed-point pipeline for long streams and the
-    plain scan for short ones.  Raises BjxaProtocolError on an invalid
-    profile factor anywhere in the stream.
+    The shared core of :func:`decode_bytes` and the CLI's valid-prefix
+    error path — both go through the same block-count-bucketed compiled
+    programs, so a corrupt corpus costs zero extra compiles.
 
-    Chunk-count heuristic: fill the Pallas lane grid (8192 lanes — the
-    measured sweet spot on v5e) when the stream is long enough — each chunk
-    must still hold enough blocks (``min_chunk_blocks``) that the fixed
-    point converges in a few rounds (state transients die within ~5
-    blocks).
+    Returns ``(frames int16[>=samples, C], valid bool[B, C])`` — frames
+    past the first invalid block are garbage (the reference stops there;
+    callers slice the valid prefix).
     """
     state = fmt.initial_state_array()
     B = fmt.blocks
@@ -676,5 +729,62 @@ def decode_bytes(
                 axis=1,
             )
         frames, _end, valid = decode_arrays(blocks, state, bits=fmt.bits)
-    check_valid(np.asarray(valid[:B]), fmt.channels)
+    return frames, valid[:B]
+
+
+def decode_bytes(
+    payload: bytes | memoryview,
+    fmt: XAFormat,
+    *,
+    parallel: bool = True,
+    min_chunk_blocks: int = 8,
+    max_chunks: int = 4096,
+    mesh=None,
+    sp_axis: str = "sp",
+    sp_min_blocks: int = 2048,
+) -> np.ndarray:
+    """Decode one XA payload to interleaved PCM ``int16[samples, C]``.
+
+    Chooses the chunk-parallel fixed-point pipeline for long streams and the
+    plain scan for short ones.  Raises BjxaProtocolError on an invalid
+    profile factor anywhere in the stream.
+
+    With a multi-device ``mesh`` carrying an ``sp_axis`` of size > 1 and a
+    stream of at least ``sp_min_blocks`` blocks, the block range is
+    sequence-parallel sharded across the mesh devices (the ppermute
+    boundary-state ring of :func:`bjxa_tpu.parallel.sharded.decode_file_sharded`)
+    — bit-exact with the single-device paths.
+
+    Chunk-count heuristic: fill the Pallas lane grid (8192 lanes — the
+    measured sweet spot on v5e) when the stream is long enough — each chunk
+    must still hold enough blocks (``min_chunk_blocks``) that the fixed
+    point converges in a few rounds (state transients die within ~5
+    blocks).
+    """
+    if (
+        mesh is not None
+        and sp_axis in getattr(mesh, "shape", {})
+        and mesh.shape[sp_axis] > 1
+        and fmt.blocks >= sp_min_blocks
+    ):
+        from bjxa_tpu.parallel.sharded import decode_file_sharded
+
+        blocks = blocks_from_bytes(payload, fmt)
+        pcm, valid, _rounds = decode_file_sharded(
+            blocks,
+            fmt.initial_state_array(),
+            bits=fmt.bits,
+            mesh=mesh,
+            axis=sp_axis,
+        )
+        check_valid(valid[: fmt.blocks], fmt.channels)
+        return pcm[: fmt.samples]
+    frames, valid = decode_bytes_validity(
+        payload,
+        fmt,
+        parallel=parallel,
+        min_chunk_blocks=min_chunk_blocks,
+        max_chunks=max_chunks,
+    )
+    check_valid(np.asarray(valid), fmt.channels)
     return np.asarray(frames[: fmt.samples])

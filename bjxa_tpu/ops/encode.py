@@ -85,6 +85,33 @@ def encode_search(pcm: jnp.ndarray, state: jnp.ndarray, *, bits: int):
     return encode_search_scan(pcm, state, bits=bits)
 
 
+@partial(jax.jit, static_argnames=("bits", "search"))
+def encode_batch_blocks(pcm: jnp.ndarray, *, bits: int, search: bool):
+    """One-dispatch corpus encode: PCM lanes -> packed XA blocks.
+
+    Fuses profile search (or truncation) and bit-packing into a single
+    compiled program so a corpus batch costs one dispatch and one
+    device->host transfer; the all-zero initial predictor state (XA
+    headers emitted by the encoder carry zero seeds) is synthesized
+    on device instead of shipped across the link.
+
+    Args:
+      pcm: int-like ``[B, 32, L]`` lane-major samples (zero-padded final
+        block).
+
+    Returns raw XA blocks ``uint8[B, L, block_size]`` (channel-major
+    within each effective block — the file layout).
+    """
+    from bjxa_tpu.ops.deflate import deflate_blocks
+
+    state = jnp.zeros((pcm.shape[-1], 2), jnp.int32)
+    if search:
+        profiles, coded, _recon, _end = encode_search(pcm, state, bits=bits)
+    else:
+        profiles, coded = encode_truncate(pcm)
+    return deflate_blocks(profiles, coded.transpose(0, 2, 1), bits)
+
+
 @partial(jax.jit, static_argnames=("bits",))
 def encode_search_scan(pcm: jnp.ndarray, state: jnp.ndarray, *, bits: int):
     """Greedy exhaustive profile-search encode.

@@ -32,7 +32,8 @@ from bjxa_tpu.format import (
     parse_xa_header,
 )
 from bjxa_tpu.ops.decode import (
-    decode_batch_words,
+    decode_batch_packed,
+    packed_layout,
     pad_bucket as _bucket,
 )
 from bjxa_tpu.ops.tables import BLOCK_SAMPLES
@@ -47,16 +48,27 @@ class _SerialWriter:
     The corpus engines hand each materialized batch's serialization +
     disk writes to this thread so the main thread can immediately block
     on the next batch's device->host transfer; ordering is preserved so
-    manifest/counter updates stay sequential.  ``__exit__`` drains the
-    queue and re-raises the first job exception in the caller.
+    manifest/counter updates stay sequential.
+
+    The queue is bounded (``maxsize=depth``): if disk writes fall behind
+    decode+readback, ``put`` blocks the producer, so host memory holds at
+    most ~depth materialized batches (matching the device-side bound the
+    pipeline depth provides).  A job exception re-raises at the next
+    ``put`` — the producer stops staging/decoding further batches
+    promptly instead of burning device time on work that will never be
+    written — or in ``__exit__`` if no put follows.  On a producer-side
+    exception (including KeyboardInterrupt), ``__exit__`` discards the
+    pending backlog instead of draining it — the manifest makes the rerun
+    pick up exactly the unwritten files.
     """
 
-    def __init__(self):
+    def __init__(self, depth: int = 3):
         import queue
         import threading
 
-        self._q = queue.SimpleQueue()
+        self._q = queue.Queue(maxsize=max(depth, 1))
         self._exc = None
+        self._abort = False
         self._thread = threading.Thread(target=self._run, daemon=True)
 
     def _run(self):
@@ -64,14 +76,17 @@ class _SerialWriter:
             job = self._q.get()
             if job is None:
                 return
-            if self._exc is None:
-                fn, args = job
-                try:
-                    fn(*args)
-                except BaseException as e:  # surfaced in __exit__
-                    self._exc = e
+            if self._abort or self._exc is not None:
+                continue
+            fn, args = job
+            try:
+                fn(*args)
+            except BaseException as e:  # surfaced at next put / __exit__
+                self._exc = e
 
     def put(self, fn, *args):
+        if self._exc is not None:
+            raise self._exc
         self._q.put((fn, args))
 
     def __enter__(self):
@@ -79,6 +94,8 @@ class _SerialWriter:
         return self
 
     def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None:
+            self._abort = True  # skip (don't run) the queued backlog
         self._q.put(None)
         self._thread.join()
         if exc_type is None and self._exc is not None:
@@ -161,6 +178,7 @@ def decode_corpus(
     mesh=None,
     process_index: int | None = None,
     process_count: int | None = None,
+    depth: int = 3,
 ) -> CorpusResult:
     """Decode every XA file in ``inputs`` to WAV files in ``out_dir``.
 
@@ -169,6 +187,8 @@ def decode_corpus(
     each host auto-derives its round-robin shard of the sorted file list
     from ``jax.process_index()/count()``; passing ``process_index``/``count``
     explicitly overrides that (e.g. for externally-managed sharding).
+    ``depth`` bounds both the in-flight device batches and the queued
+    host-side write backlog.
     """
     process_index, process_count = _resolve_process(
         process_index, process_count
@@ -217,15 +237,20 @@ def decode_corpus(
     # device->host PCM transfer of several batches overlap.
     def submit(bits, channels, bucket, chunk, n_alloc):
         size = bits * 4 + 1
-        n = len(chunk)
-        # n_alloc (>= n, fixed per group by the pipeline driver) pads the
-        # remainder chunk to the group's staging width so it reuses the
-        # compiled program instead of costing a fresh XLA/Mosaic compile;
-        # pad lanes are all-zero (profile 0 = valid) and nearly free.
-        states = np.zeros((n_alloc * channels, 2), np.int32)
+        L = n_alloc * channels
+        # The geometric bucket is only the GROUPING key; each chunk stages
+        # and decodes at the finer linear granularity of its own largest
+        # file.  On a link-bound engine the bucket's up-to-1/8 pad would
+        # cross the link both ways; this caps the waste at <1 granularity
+        # of blocks at the cost of at most a few extra compiles per group
+        # (chunk maxima are granularity-aligned, so the distinct-shape
+        # count stays small and the persistent compile cache absorbs it).
+        bmax = max(f.blocks for _, f, _ in chunk)
+        Bs = min(bucket, -(-bmax // bucket_granularity) * bucket_granularity)
         if mesh is not None:
             # Sharded path keeps the lane-major uint8 staging.
-            blocks_t = np.zeros((bucket, size, n_alloc * channels), np.uint8)
+            states = np.zeros((L, 2), np.int32)
+            blocks_t = np.zeros((Bs, size, L), np.uint8)
             for i, (path, fmt, payload) in enumerate(chunk):
                 raw = np.frombuffer(
                     payload, np.uint8, count=fmt.blocks * fmt.block_size_xa
@@ -237,20 +262,29 @@ def decode_corpus(
                 decode_corpus_sharded_lanes,
             )
 
-            pcm, _end, valid = decode_corpus_sharded_lanes(
+            # Validity is checked host-side from the staged profile plane
+            # (the device result is not transferred back).
+            valid = (blocks_t[:, 0, :] >> 4) < 5
+            pcm, _end, _dvalid = decode_corpus_sharded_lanes(
                 blocks_t, states, bits=bits, mesh=mesh
             )
-            _start_readback(pcm, valid)
-            return channels, bucket, chunk, pcm, valid
+            _start_readback(pcm)
+            return channels, Bs, chunk, pcm, valid
 
-        # Single-device fast path: stage packed words (profile byte plane +
-        # little-endian int32 payload words) — one numpy copy, the same
-        # cost as any staging layout, and the device then loads payload at
-        # int32 tiles with no per-sample uint8 convert and returns PCM in
-        # its native lane split (no device relayout).
+        # Single-device fast path: stage the whole batch into ONE packed
+        # int32 buffer (payload words + profile bytes + predictor states,
+        # see ops.decode.packed_layout) — one numpy copy, the same cost
+        # as any staging layout, ONE host->device transfer, and the
+        # device loads payload at int32 tiles with no per-sample uint8
+        # convert.  Only the PCM comes back: validity is computed here
+        # from the staged profile bytes, saving a device->host round trip
+        # per batch on the link the corpus engine is bound by.
         W = bits  # 4*bits payload bytes == bits int32 words
-        prof = np.zeros((bucket, n_alloc * channels), np.uint8)
-        words8 = np.zeros((bucket, W, n_alloc * channels, 4), np.uint8)
+        nw, npr, _nst = packed_layout(Bs, L, bits)
+        buf = np.zeros(nw + npr + _nst, np.dtype("<i4"))
+        words8 = buf[:nw].view(np.uint8).reshape(Bs, W, L, 4)
+        prof = buf[nw : nw + npr].view(np.uint8)[: Bs * L].reshape(Bs, L)
+        states = buf[nw + npr :].reshape(L, 2)
         for i, (path, fmt, payload) in enumerate(chunk):
             raw = np.frombuffer(
                 payload, np.uint8, count=fmt.blocks * fmt.block_size_xa
@@ -263,14 +297,12 @@ def decode_corpus(
                 .transpose(0, 2, 1, 3)
             )
             states[lanes] = fmt.initial_state_array()
-        words = words8.view("<i4")[..., 0]
-        pcm, _end, valid = decode_batch_words(
-            prof, words, states, bits=bits
-        )
-        _start_readback(pcm, valid)
-        return channels, bucket, chunk, pcm, valid
+        valid = (prof >> 4) < 5
+        pcm = decode_batch_packed(buf, bits=bits, blocks=Bs, lanes=L)
+        _start_readback(pcm)
+        return channels, Bs, chunk, pcm, valid
 
-    def write_batch(channels, bucket, chunk, pcm, valid):
+    def write_batch(channels, nblocks, chunk, pcm, valid):
         nonlocal converted
         for i, (path, fmt, payload) in enumerate(chunk):
             lanes = slice(i * channels, (i + 1) * channels)
@@ -278,15 +310,20 @@ def decode_corpus(
                 failed[str(path)] = "invalid block profile factor"
                 continue
             frames = pcm[:, :, lanes].reshape(
-                bucket * BLOCK_SAMPLES, channels
+                nblocks * BLOCK_SAMPLES, channels
             )[: fmt.samples]
             wav = dump_riff_header(
                 fmt.data_len_pcm, fmt.samples_rate, fmt.channels
             ) + dump_pcm(frames)
             out_path = out_dir / (path.stem + ".wav")
             tmp = out_path.with_suffix(".wav.tmp")
-            tmp.write_bytes(wav)
-            tmp.replace(out_path)
+            try:
+                tmp.write_bytes(wav)
+                tmp.replace(out_path)
+            except OSError as e:
+                # degrade per file, like parse errors — the run continues
+                failed[str(path)] = str(e)
+                continue
             manifest.record(
                 str(path), out=str(out_path), samples=fmt.samples
             )
@@ -298,23 +335,22 @@ def decode_corpus(
             counters.bytes_out += len(wav)
 
     def flush(pending):
-        channels, bucket, chunk, pcm, valid = pending
+        channels, nblocks, chunk, pcm, valid = pending
         # Fused path returns PCM in the kernel-native padded lane split
         # ([Bp, 32, sub, LNp]); merging and trimming here is a free numpy
-        # view.  The fallback's flat [bucket, 32, lanes] passes through
+        # view.  The fallback's flat [nblocks, 32, lanes] passes through
         # unchanged.
         lanes_total = len(chunk) * channels
         pcm = np.asarray(pcm)  # lands the (already-started) D2H transfer
         pcm = pcm.reshape(pcm.shape[0], BLOCK_SAMPLES, -1)[
-            :bucket, :, :lanes_total
+            :nblocks, :, :lanes_total
         ]
-        valid = np.asarray(valid)  # [bucket, lanes]
         # WAV serialization + disk writes run on the writer thread so the
         # next batch's transfer is not stalled behind file I/O.
-        writer.put(write_batch, channels, bucket, chunk, pcm, valid)
+        writer.put(write_batch, channels, nblocks, chunk, pcm, valid)
 
-    with _SerialWriter() as writer:
-        _run_pipelined(groups, batch_files, submit, flush)
+    with _SerialWriter(depth=depth) as writer:
+        _run_pipelined(groups, batch_files, submit, flush, depth=depth)
 
     return CorpusResult(
         converted=converted,
@@ -336,6 +372,7 @@ def encode_corpus(
     mesh=None,
     process_index: int | None = None,
     process_count: int | None = None,
+    depth: int = 3,
 ) -> CorpusResult:
     """Encode every WAV file in ``inputs`` to XA files in ``out_dir``.
 
@@ -359,8 +396,7 @@ def encode_corpus(
         parse_riff_header,
     )
     from bjxa_tpu.format.xa import XAFormat
-    from bjxa_tpu.ops.deflate import deflate_blocks
-    from bjxa_tpu.ops.encode import encode_search, encode_truncate
+    from bjxa_tpu.ops.encode import encode_batch_blocks
 
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -401,39 +437,37 @@ def encode_corpus(
         groups.setdefault(key, []).append((path, rf, pcm))
 
     def submit(channels, bucket, chunk, n_alloc):
-        n = len(chunk)
         # Fixed lane count per group (see decode_corpus.submit): the
-        # remainder chunk reuses the full batch's compiled program.
-        lanes = np.zeros(
-            (bucket, BLOCK_SAMPLES, n_alloc * channels), np.int16
+        # remainder chunk reuses the full batch's compiled program.  The
+        # bucket is only the grouping key — each chunk stages at the
+        # linear granularity of its own largest file (less pad over the
+        # link both ways).
+        L = n_alloc * channels
+        bmax = max(
+            -(-pcm.shape[0] // BLOCK_SAMPLES) for _, _, pcm in chunk
         )
-        frames = lanes.reshape(bucket * BLOCK_SAMPLES, n_alloc * channels)
+        Bs = min(bucket, -(-bmax // bucket_granularity) * bucket_granularity)
+        lanes = np.zeros((Bs, BLOCK_SAMPLES, L), np.int16)
+        frames = lanes.reshape(Bs * BLOCK_SAMPLES, L)
         for i, (path, rf, pcm) in enumerate(chunk):
             ln = slice(i * channels, (i + 1) * channels)
             frames[: pcm.shape[0], ln] = pcm
-        states0 = np.zeros((n_alloc * channels, 2), np.int32)
         if mesh is not None:
             from bjxa_tpu.parallel.sharded import (
                 encode_corpus_sharded_lanes,
             )
 
+            states0 = np.zeros((L, 2), np.int32)
             blocks = encode_corpus_sharded_lanes(
                 lanes, states0, bits=bits, search=search, mesh=mesh
             )
             _start_readback(blocks)
             return channels, chunk, blocks
-        lanes_d = jnp.asarray(lanes)
-        if search:
-            profiles, coded, _recon, _end = encode_search(
-                lanes_d, jnp.asarray(states0), bits=bits
-            )
-        else:
-            profiles, coded = encode_truncate(lanes_d)
-        # [B, 32, L] -> [B, L, 32] so packed bytes land channel-major
-        # within each effective block (the file layout)
-        blocks = deflate_blocks(
-            profiles, coded.transpose(0, 2, 1), bits
-        )  # uint8[B, L, S]
+        # Single dispatch, single upload, single readback (the zero
+        # initial state is synthesized on device).
+        blocks = encode_batch_blocks(
+            jnp.asarray(lanes), bits=bits, search=search
+        )  # uint8[Bs, L, S]
         _start_readback(blocks)
         return channels, chunk, blocks
 
@@ -456,8 +490,12 @@ def encode_corpus(
             xa = dump_xa_header(fmt) + payload
             out_path = out_dir / (path.stem + ".xa")
             tmp = out_path.with_suffix(".xa.tmp")
-            tmp.write_bytes(xa)
-            tmp.replace(out_path)
+            try:
+                tmp.write_bytes(xa)
+                tmp.replace(out_path)
+            except OSError as e:
+                failed[str(path)] = str(e)
+                continue
             manifest.record(
                 str(path), out=str(out_path), samples=pcm.shape[0]
             )
@@ -470,11 +508,11 @@ def encode_corpus(
 
     def flush(pending):
         channels, chunk, blocks = pending
-        blocks = np.asarray(blocks)  # [bucket, lanes, S]
+        blocks = np.asarray(blocks)  # [Bs, lanes, S]
         writer.put(write_batch, channels, chunk, blocks)
 
-    with _SerialWriter() as writer:
-        _run_pipelined(groups, batch_files, submit, flush)
+    with _SerialWriter(depth=depth) as writer:
+        _run_pipelined(groups, batch_files, submit, flush, depth=depth)
 
     return CorpusResult(
         converted=converted,

@@ -30,6 +30,6 @@ def make_mesh(
     return Mesh(arr, axis_names)
 
 
-def dp_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard the leading (file) axis over ``dp``, replicate the rest."""
-    return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+def dp_sharding(mesh: Mesh, ndim: int, axis: str = "dp") -> NamedSharding:
+    """Shard the leading (file) axis over ``axis``, replicate the rest."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))

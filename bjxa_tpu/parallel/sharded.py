@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from bjxa_tpu.ops.decode import decode_batch, decode_batch_lanes
@@ -48,12 +48,16 @@ def decode_corpus_sharded(
     and XLA partitions the (embarrassingly parallel) lane computation — no
     collectives needed since file lanes never communicate.
     """
+    from bjxa_tpu.parallel.mesh import dp_sharding
+
     n_shard = mesh.shape[axis]
     assert blocks.shape[0] % n_shard == 0
-    blk_sh = NamedSharding(mesh, P(axis, None, None, None))
-    st_sh = NamedSharding(mesh, P(axis, None, None))
-    blocks = jax.device_put(jnp.asarray(blocks), blk_sh)
-    states = jax.device_put(jnp.asarray(states, jnp.int32), st_sh)
+    blocks = jax.device_put(
+        jnp.asarray(blocks), dp_sharding(mesh, blocks.ndim, axis)
+    )
+    states = jax.device_put(
+        jnp.asarray(states, jnp.int32), dp_sharding(mesh, 3, axis)
+    )
     return decode_batch(blocks, states, bits=bits)
 
 

@@ -172,6 +172,155 @@ def test_decode_fuzz_matches_reference(ref_bjxa):
         )
 
 
+def _mk_header(rng, bits, channels, nblocks, samples=None):
+    import struct
+
+    block_size = bits * 4 + 1
+    data_len = nblocks * block_size * channels
+    max_samples = 32 * nblocks
+    if samples is None:
+        samples = int(max_samples - rng.integers(0, 32))
+        if samples <= 0:
+            samples = max_samples
+    return (
+        struct.pack(
+            "<4sIIHBBI4hI",
+            b"KWD1",
+            data_len,
+            samples,
+            int(rng.integers(1, 65535)),
+            bits,
+            channels,
+            int(rng.integers(0, 2**32)),
+            *[int(x) for x in rng.integers(-32768, 32768, 4)],
+            int(rng.integers(0, 2**32)),
+        ),
+        data_len,
+        block_size,
+    )
+
+
+def _mk_valid_payload(rng, data_len, block_size, nlanes):
+    payload = rng.integers(0, 256, size=data_len, dtype=np.uint8)
+    for i in range(nlanes):
+        payload[i * block_size] = (
+            rng.integers(0, 5) << 4 | rng.integers(0, 16)
+        )
+    return payload
+
+
+def _cli_decode(xa: bytes):
+    """Run the real CLI decode code path in-process on byte buffers.
+
+    Returns (exit_code, stdout_bytes, stderr_text) — the triple the
+    error-parity sweep compares against the compiled C binary.
+    """
+    import contextlib
+    import io
+
+    from bjxa_tpu import cli
+
+    fin = io.BytesIO(xa)
+    fout = io.BytesIO()
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        code = cli._decode_stream(fin, fout, streaming=False)
+    return code, fout.getvalue(), err.getvalue()
+
+
+def _ref_decode_full(exe, xa: bytes):
+    res = subprocess.run([str(exe), "decode"], input=xa, capture_output=True)
+    return res.returncode, res.stdout, res.stderr.decode()
+
+
+@pytest.mark.slow
+def test_decode_fuzz_sweep_matches_reference(ref_bjxa):
+    """O(1000)-stream randomized differential sweep vs the C binary.
+
+    The reference's external evidence class is a 3700-file comparison
+    against the original ``xa.exe`` (``bjxa.5.rst:197-199``); this sweep
+    is the equivalent for this implementation: for every trial the REAL
+    CLI code path and the compiled reference CLI must agree on the exit
+    code, every stdout byte (including the valid-prefix PCM emitted
+    before a failure), and the stderr failure label.  Trials mix happy
+    paths, truncated tails (header-promised and mid-stream), and invalid
+    profile factors planted at random (block, channel) positions.
+
+    Block counts draw from a fixed ladder so the CPU-backend compile set
+    stays bounded; payloads/headers/seeds/cut points are fully random.
+    """
+    rng = np.random.default_rng(31337)
+    ladder = [1, 3, 8, 21, 64, 200]
+    n_trials = 1000
+    counts = {"ok": 0, "proto": 0, "eof": 0}
+    for trial in range(n_trials):
+        bits = int(rng.choice([4, 6, 8]))
+        channels = int(rng.choice([1, 2]))
+        nblocks = int(rng.choice(ladder))
+        header, data_len, block_size = _mk_header(rng, bits, channels, nblocks)
+        payload = _mk_valid_payload(
+            rng, data_len, block_size, nblocks * channels
+        )
+        kind = rng.choice(["ok", "proto", "eof"], p=[0.5, 0.25, 0.25])
+        if kind == "proto" or (kind == "eof" and rng.random() < 0.3):
+            # plant an invalid factor at a random (block, channel) — for
+            # "eof" trials it may land before OR after the cut, racing
+            # the protocol error against the short read like a real
+            # corrupt+truncated file would
+            b = int(rng.integers(0, nblocks))
+            c = int(rng.integers(0, channels))
+            payload[(b * channels + c) * block_size] = int(
+                rng.integers(5, 16) << 4 | rng.integers(0, 16)
+            )
+        xa = header + payload.tobytes()
+        if kind == "eof":
+            xa = xa[: 32 + int(rng.integers(0, data_len))]
+        ref_code, ref_out, ref_err = _ref_decode_full(ref_bjxa, xa)
+        got_code, got_out, got_err = _cli_decode(xa)
+        ctx = (trial, kind, bits, channels, nblocks)
+        assert (got_code != 0) == (ref_code != 0), (ctx, got_err, ref_err)
+        assert got_out == ref_out, ctx
+        assert got_err == ref_err, (ctx, got_err, ref_err)
+        counts[str(kind)] += 1
+    assert sum(counts.values()) == n_trials
+
+
+@pytest.mark.slow
+def test_encode_truncated_parity_sweep(ref_bjxa):
+    """Truncated WAV bodies through encode: the reference's streaming
+    loop writes the XA header and every complete block before the short
+    fread fails (``src/bjxa_encode.c:108-160``); stdout/exit/stderr must
+    match byte for byte."""
+    import contextlib
+    import io
+
+    from bjxa_tpu import cli
+
+    rng = np.random.default_rng(777)
+    for trial in range(120):
+        bits = int(rng.choice([4, 6, 8]))
+        channels = int(rng.choice([1, 2]))
+        frames = int(rng.integers(1, 400))
+        sig = rng.integers(-32768, 32768, size=(frames, channels)).astype(
+            np.int16
+        )
+        wav = dump_riff_header(sig.size * 2, 44100, channels) + dump_pcm(sig)
+        cut = 44 + int(rng.integers(0, sig.size * 2))
+        wav = wav[:cut]
+        res = subprocess.run(
+            [str(ref_bjxa), "encode", "--bits", str(bits)],
+            input=wav,
+            capture_output=True,
+        )
+        fin, fout, err = io.BytesIO(wav), io.BytesIO(), io.StringIO()
+        with contextlib.redirect_stderr(err):
+            code = cli._encode_stream(fin, fout, bits, search=False)
+        ctx = (trial, bits, channels, frames, cut)
+        assert (code != 0) == (res.returncode != 0), (ctx, err.getvalue())
+        assert fout.getvalue() == res.stdout, ctx
+        assert err.getvalue() == res.stderr.decode(), ctx
+
+
 @pytest.mark.parametrize("bits", [4, 6, 8])
 def test_fixture_encode_matches_reference(ref_bjxa, fixture_dir, bits):
     for stem in ("square-mono", "square-stereo"):
