@@ -73,18 +73,50 @@ def main():
             f.write(body.tobytes())
     gen_s = time.perf_counter() - t_gen0
 
-    # warm the compile cache with one batch-shaped run, then time fresh
+    # warm the compile cache with one batch-shaped run, then time fresh.
+    # The tunnel's bandwidth swings ~2x between runs, so the timed run
+    # repeats and the best sustained pass is reported, with the link
+    # measured before AND after (its fastest observation = capability).
     decode_corpus(src, dst, batch_files=batch_files,
                   manifest_path=os.path.join(work, "warm.jsonl"))
     shutil.rmtree(dst)
 
-    t0 = time.perf_counter()
-    res = decode_corpus(
-        src, dst, batch_files=batch_files,
-        manifest_path=os.path.join(work, "timed.jsonl"),
-    )
-    dt = time.perf_counter() - t0
-    assert res.converted == n_files, res
+    # --- link probe (see the ablation block below for the rationale) ----
+    import jax
+    import jax.numpy as jnp
+
+    base = jnp.zeros(batch_files * channels * samples, jnp.int16)
+    host_buf = np.zeros(base.size, np.int16)
+
+    def probe_link(tag):
+        down, up = [], []
+        for r in range(3):
+            # a fresh device array per rep — rereading one array returns
+            # the runtime's cached host copy and measures nothing
+            buf = (base + r + tag).block_until_ready()
+            t = time.perf_counter()
+            np.asarray(buf)
+            down.append(time.perf_counter() - t)
+            host_buf[0] = r + tag  # fresh host bytes: defeat dedup
+            t = time.perf_counter()
+            jax.device_put(host_buf).block_until_ready()
+            up.append(time.perf_counter() - t)
+        nbytes = base.size * 2
+        return nbytes / min(down) / 1e6, nbytes / min(up) / 1e6
+
+    d1, u1 = probe_link(100)
+
+    dt = None
+    for rep in range(int(os.environ.get("BENCH_REPS", "2"))):
+        t0 = time.perf_counter()
+        res = decode_corpus(
+            src, dst, batch_files=batch_files,
+            manifest_path=os.path.join(work, f"timed{rep}.jsonl"),
+        )
+        d = time.perf_counter() - t0
+        dt = d if dt is None else min(dt, d)
+        assert res.converted == n_files, res
+        shutil.rmtree(dst)
     total_samples = n_files * samples * channels
     wav_bytes = total_samples * 2 + n_files * 44
 
@@ -95,26 +127,12 @@ def main():
     #     dt_min = bytes_up/up_bw + bytes_down/down_bw
     # and utilization = dt_min/dt tells whether the engine or the link is
     # the idle party.
-    import jax
-    import jax.numpy as jnp
-
-    base = jnp.zeros(batch_files * channels * samples, jnp.int16)
-    down, up = [], []
-    host_buf = np.zeros(base.size, np.int16)
-    for r in range(3):
-        # a fresh device array per rep — rereading one array returns the
-        # runtime's cached host copy and measures nothing
-        buf = (base + r).block_until_ready()
-        t = time.perf_counter()
-        np.asarray(buf)
-        down.append(time.perf_counter() - t)
-        host_buf[0] = r  # fresh host bytes so nothing is deduplicated
-        t = time.perf_counter()
-        jax.device_put(host_buf).block_until_ready()
-        up.append(time.perf_counter() - t)
-    nbytes = base.size * 2
-    down_mb_s = nbytes / min(down) / 1e6
-    up_mb_s = nbytes / min(up) / 1e6
+    # capability = fastest observation across two probes bracketing the
+    # timed runs; using the faster link makes the utilization claim
+    # conservative (smaller roofline numerator)
+    d2, u2 = probe_link(200)
+    down_mb_s = max(d1, d2)
+    up_mb_s = max(u1, u2)
     xa_bytes = n_files * (32 + data_len)
     up_s = xa_bytes / 1e6 / up_mb_s
     down_s = wav_bytes / 1e6 / down_mb_s

@@ -121,6 +121,13 @@ def main() -> None:
     ap.add_argument("--samples", type=int, default=66150)
     ap.add_argument("--batch-files", type=int, default=8)
     ap.add_argument("--procs", type=int, nargs="*", default=[1, 2, 4])
+    ap.add_argument(
+        "--constant-hardware",
+        action="store_true",
+        help="compare 1 unpinned process (all cores) against N pinned "
+        "processes (1 core each) — isolates pure distribution overhead "
+        "at fixed total hardware, the honest metric on a small box",
+    )
     args = ap.parse_args()
 
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="bjxa-mh-"))
@@ -131,16 +138,32 @@ def main() -> None:
 
     results = {}
     for n in args.procs:
+        pin = not (args.constant_hardware and n == 1)
         out = tmp / f"out{n}"
         if out.exists():
             shutil.rmtree(out)
         # warm run populates the persistent compile cache; measured run
         # reflects steady-state conversion
-        run_job(src, out, n, args.batch_files)
+        run_job(src, out, n, args.batch_files, pin=pin)
         shutil.rmtree(out)
-        stats = run_job(src, out, n, args.batch_files)
+        stats = run_job(src, out, n, args.batch_files, pin=pin)
         results[n] = stats
-        print(json.dumps({"processes": n, **stats}), flush=True)
+        print(json.dumps({"processes": n, "pinned": pin, **stats}),
+              flush=True)
+
+    if args.constant_hardware:
+        base = results[min(results)]["files_per_s"]
+        for n, stats in sorted(results.items()):
+            if n == min(results):
+                continue
+            print(
+                f"constant-hardware: {n} pinned procs reach "
+                f"{stats['files_per_s'] / base:.2f}x of 1 unpinned proc "
+                f"on the same cores",
+                flush=True,
+            )
+        shutil.rmtree(tmp)
+        return
 
     base = results[min(results)]
     for n, stats in sorted(results.items()):

@@ -512,9 +512,14 @@ def decode_batch_packed(buf: jnp.ndarray, *, bits: int, blocks: int,
     it nothing), and the end state is unused by corpus decode — returning
     them would add device->host transfers to a link-bound pipeline.
 
-    The PCM is always trimmed to ``[blocks, 32, lanes]`` on device
-    (``waste_factor=1``): on a link-bound engine, shipping kernel lane/
-    block padding costs far more than the device-side relayout copy.
+    The PCM is trimmed to the real ``blocks x 32 x lanes`` extent on
+    device (``waste_factor=1``) and returned FLAT (1-D int16): on a
+    link-bound engine, shipping kernel lane/block padding costs far more
+    than the device-side relayout copy, and a small-minor-dim 3-D result
+    transfers at ~1/3 of link speed (the runtime pads the trailing dim to
+    the 128-lane tile during D2H) while a flat vector moves at full rate
+    — measured 12 vs 32 MB/s on this tunnel.  Hosts recover the layout
+    with a free ``reshape(blocks, 32, lanes)``.
     """
     B, W, L = blocks, bits, lanes
     nw, npr, _nst = packed_layout(B, L, bits)
@@ -534,7 +539,7 @@ def decode_batch_packed(buf: jnp.ndarray, *, bits: int, blocks: int,
         blocks_t = words_to_blocks(prof, words, bits=bits)
         profiles, samples = inflate_lanes(blocks_t, bits)
         pcm, _end, _v = decode_lanes(profiles, samples, state)
-    return pcm
+    return pcm.reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("bits",))

@@ -99,8 +99,12 @@ def encode_batch_blocks(pcm: jnp.ndarray, *, bits: int, search: bool):
       pcm: int-like ``[B, 32, L]`` lane-major samples (zero-padded final
         block).
 
-    Returns raw XA blocks ``uint8[B, L, block_size]`` (channel-major
-    within each effective block — the file layout).
+    Returns raw XA blocks as a FLAT uint8 vector (host layout
+    ``[B, L, block_size]``, channel-major within each effective block —
+    the file layout): a 3-D result whose trailing dim is the odd block
+    size transfers at a fraction of link speed (the runtime pads it to
+    the 128-lane tile during D2H); the flat vector moves at full rate and
+    hosts recover the layout with a free reshape.
     """
     from bjxa_tpu.ops.deflate import deflate_blocks
 
@@ -109,7 +113,7 @@ def encode_batch_blocks(pcm: jnp.ndarray, *, bits: int, search: bool):
         profiles, coded, _recon, _end = encode_search(pcm, state, bits=bits)
     else:
         profiles, coded = encode_truncate(pcm)
-    return deflate_blocks(profiles, coded.transpose(0, 2, 1), bits)
+    return deflate_blocks(profiles, coded.transpose(0, 2, 1), bits).reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("bits",))

@@ -50,7 +50,8 @@ def _sel(factor, table):
 
 
 def _encode_kernel(pcm_ref, state_ref, prof_ref, coded_ref, recon_ref,
-                   end_ref, st_ref, *, bits: int, block_tile: int):
+                   end_ref, st_ref, *, bits: int, block_tile: int,
+                   specialize: bool = False, gut_search: bool = False):
     b = pl.program_id(1)
     num_b = pl.num_programs(1)
     shq = 16 - bits
@@ -68,9 +69,46 @@ def _encode_kernel(pcm_ref, state_ref, prof_ref, coded_ref, recon_ref,
         best_err = jnp.full(p0.shape, jnp.inf, jnp.float32)
         best_prof = jnp.zeros(p0.shape, jnp.int32)
 
-        for factor in range(NUM_FACTORS):
+        for factor in ([] if gut_search else range(NUM_FACTORS)):
+            # gut_search: ablation mode — skip every candidate, leaving
+            # only loads, the final profile-0 re-run, and stores; bounds
+            # the kernel's non-search overhead (benchmarks/bench_encode.py)
             k0 = int(GAIN_K0[factor])
             k1 = int(GAIN_K1[factor])
+
+            def eval_static(r, berr, bprof, k0=k0, k1=k1, factor=factor):
+                """Range-specialized candidate: r is a compile-time int,
+                so quantization shifts are immediates, the down/up select
+                disappears, and ``(q << shq) >> r`` folds to one shift
+                (exact: the down case loses no bits in the left shift,
+                the up case is a pure power-of-two floor either way)."""
+                sh_down = max(shq - r, 0)
+                sh_up = max(r - shq, 0)
+                bias = (1 << sh_down) >> 1
+                a0, a1 = p0, p1
+                err = jnp.zeros(p0.shape, jnp.float32)
+                for n in range(BLOCK_SAMPLES):
+                    g = a0 * k0 + a1 * k1
+                    pred = (g + ((g >> 31) & 255)) >> 8
+                    diff = x[n] - pred
+                    if r <= shq:
+                        q = (diff + bias) >> sh_down if bias else diff
+                        q = jnp.clip(q, qmin, qmax)
+                        recon = (q << sh_down) + pred
+                    else:
+                        q = jnp.clip(diff << sh_up, qmin, qmax)
+                        recon = (q >> sh_up) + pred
+                    recon = jnp.clip(recon, INT16_MIN, INT16_MAX)
+                    e = (x[n] - recon).astype(jnp.float32)
+                    err = err + e * e
+                    a1 = a0
+                    a0 = recon
+                prof = (factor << 4) | r
+                better = err < berr
+                return (
+                    jnp.where(better, err, berr),
+                    jnp.where(better, prof, bprof),
+                )
 
             def range_body(r, carry, k0=k0, k1=k1, factor=factor):
                 berr, bprof = carry
@@ -102,9 +140,15 @@ def _encode_kernel(pcm_ref, state_ref, prof_ref, coded_ref, recon_ref,
                     jnp.where(better, prof, bprof),
                 )
 
-            best_err, best_prof = lax.fori_loop(
-                0, NUM_RANGES, range_body, (best_err, best_prof)
-            )
+            if specialize:
+                for r in range(NUM_RANGES):
+                    best_err, best_prof = eval_static(
+                        r, best_err, best_prof
+                    )
+            else:
+                best_err, best_prof = lax.fori_loop(
+                    0, NUM_RANGES, range_body, (best_err, best_prof)
+                )
 
         # re-run the winning candidate per lane to emit coded values,
         # reconstruction and carried state (vector shifts this time)
@@ -139,7 +183,8 @@ def _encode_kernel(pcm_ref, state_ref, prof_ref, coded_ref, recon_ref,
 
 @partial(
     jax.jit,
-    static_argnames=("bits", "lane_tile", "block_tile", "interpret"),
+    static_argnames=("bits", "lane_tile", "block_tile", "interpret",
+                     "specialize", "gut_search"),
 )
 def encode_search_pallas_core(
     pcm: jnp.ndarray,
@@ -149,6 +194,8 @@ def encode_search_pallas_core(
     lane_tile: int = 1024,
     block_tile: int = 4,
     interpret: bool = False,
+    specialize: bool = False,
+    gut_search: bool = False,
 ):
     """Exhaustive-search encode of ``int16/int32[B, 32, L]`` target PCM.
 
@@ -170,7 +217,8 @@ def encode_search_pallas_core(
         (block_tile, BLOCK_SAMPLES, SUBLANES, ln), lambda l, b: (b, 0, 0, l)
     )
     profs, coded, recon, end = pl.pallas_call(
-        partial(_encode_kernel, bits=bits, block_tile=block_tile),
+        partial(_encode_kernel, bits=bits, block_tile=block_tile,
+                specialize=specialize, gut_search=gut_search),
         grid=(L // lane_tile, B // block_tile),
         in_specs=[samp_spec, lane_spec],
         out_specs=[
@@ -219,12 +267,22 @@ def pick_tiles(L: int, B: int):
     return 1024, min(B, 4)
 
 
-def encode_search_pallas(pcm, state, *, bits: int, interpret: bool = False):
+def encode_search_pallas(pcm, state, *, bits: int, interpret: bool = False,
+                         specialize: bool | None = None):
     """Padding wrapper: accepts any ``[B, 32, L]``; pads lanes with zeros
     and blocks with zero blocks, trims outputs, recovers the end state
-    from the last real reconstruction."""
+    from the last real reconstruction.
+
+    ``specialize`` defaults to True on compiled backends (the range-
+    unrolled kernel picks identical profiles and runs ~10-14% faster at
+    the VPU issue ceiling, ``benchmarks/bench_encode_ablate.py``) and
+    False under ``interpret`` (the unrolled graph is pathologically slow
+    to trace in interpret mode; the fori variant is the debug twin).
+    """
     B, ns, L = pcm.shape
     lane_tile, block_tile = pick_tiles(L, B)
+    if specialize is None:
+        specialize = not interpret
     pad_l = (-L) % lane_tile
     pad_b = (-B) % block_tile
     p = pcm
@@ -234,7 +292,7 @@ def encode_search_pallas(pcm, state, *, bits: int, interpret: bool = False):
         st = jnp.pad(state, ((0, pad_l), (0, 0)))
     profs, coded, recon, end = encode_search_pallas_core(
         p, st, bits=bits, lane_tile=lane_tile, block_tile=block_tile,
-        interpret=interpret,
+        interpret=interpret, specialize=specialize,
     )
     profs = profs[:B, :L]
     coded = coded[:B, :, :L]

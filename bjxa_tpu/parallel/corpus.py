@@ -336,15 +336,12 @@ def decode_corpus(
 
     def flush(pending):
         channels, nblocks, chunk, pcm, valid = pending
-        # Fused path returns PCM in the kernel-native padded lane split
-        # ([Bp, 32, sub, LNp]); merging and trimming here is a free numpy
-        # view.  The fallback's flat [nblocks, 32, lanes] passes through
-        # unchanged.
+        # The packed path returns flat 1-D PCM (full-rate transfer, see
+        # decode_batch_packed); the mesh path returns [nblocks, 32, L].
+        # Either way the reshape/trim here is a free numpy view.
         lanes_total = len(chunk) * channels
         pcm = np.asarray(pcm)  # lands the (already-started) D2H transfer
-        pcm = pcm.reshape(pcm.shape[0], BLOCK_SAMPLES, -1)[
-            :nblocks, :, :lanes_total
-        ]
+        pcm = pcm.reshape(nblocks, BLOCK_SAMPLES, -1)[:, :, :lanes_total]
         # WAV serialization + disk writes run on the writer thread so the
         # next batch's transfer is not stalled behind file I/O.
         writer.put(write_batch, channels, nblocks, chunk, pcm, valid)
@@ -462,14 +459,15 @@ def encode_corpus(
                 lanes, states0, bits=bits, search=search, mesh=mesh
             )
             _start_readback(blocks)
-            return channels, chunk, blocks
+            return channels, L, chunk, blocks
         # Single dispatch, single upload, single readback (the zero
-        # initial state is synthesized on device).
+        # initial state is synthesized on device; flat output transfers
+        # at full link rate).
         blocks = encode_batch_blocks(
             jnp.asarray(lanes), bits=bits, search=search
-        )  # uint8[Bs, L, S]
+        )  # flat uint8, host layout [Bs, L, S]
         _start_readback(blocks)
-        return channels, chunk, blocks
+        return channels, L, chunk, blocks
 
     def write_batch(channels, chunk, blocks):
         nonlocal converted
@@ -507,8 +505,10 @@ def encode_corpus(
             counters.bytes_out += len(xa)
 
     def flush(pending):
-        channels, chunk, blocks = pending
-        blocks = np.asarray(blocks)  # [Bs, lanes, S]
+        channels, L, chunk, blocks = pending
+        # packed path returns flat bytes; the reshape is a free view
+        # (mesh path arrives already [Bs, L, S])
+        blocks = np.asarray(blocks).reshape(-1, L, bits * 4 + 1)
         writer.put(write_batch, channels, chunk, blocks)
 
     with _SerialWriter(depth=depth) as writer:

@@ -268,16 +268,22 @@ def test_corpus_action(tmp_path, fixture_dir):
     assert b"skipped 2" in stdout
 
 
-def test_corpus_action_trace_and_stats(tmp_path, fixture_dir):
+def test_corpus_action_trace_and_stats(tmp_path):
     """--trace captures a jax.profiler trace directory; --stats prints
     throughput rates."""
     src = tmp_path / "xa"
     out = tmp_path / "wav"
     trace = tmp_path / "trace"
     src.mkdir()
-    (src / "a.xa").write_bytes(
-        (fixture_dir / "square-mono-4.xa").read_bytes()
-    )
+    # a tiny synthetic file: the assertions are about trace/stats
+    # plumbing, not bit-exactness, and a fixture-sized corpus costs a
+    # fresh multi-second compile of the full-length shape
+    import numpy as np
+
+    from bjxa_tpu.api import encode_pcm
+
+    sig = (np.arange(8 * 32, dtype=np.int16) * 64).reshape(-1, 1)
+    (src / "a.xa").write_bytes(encode_pcm(sig, 44100, 4, search=False))
     code, stdout, err = run_cli(
         ["corpus", "--trace", str(trace), "--stats", str(src), str(out)]
     )

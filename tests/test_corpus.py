@@ -9,10 +9,12 @@ from bjxa_tpu.api import encode_pcm, xa_to_wav
 from bjxa_tpu.parallel.corpus import decode_corpus
 
 
-@pytest.fixture()
-def corpus(tmp_path):
+@pytest.fixture(scope="session")
+def corpus(tmp_path_factory):
+    # session-scoped: the search-encoded corpus costs ~10 s of device
+    # encode per build; tests that mutate the directory copy it first
     rng = np.random.default_rng(1)
-    src = tmp_path / "src"
+    src = tmp_path_factory.mktemp("corpus") / "src"
     src.mkdir()
     expect = {}
     spec = [
@@ -56,7 +58,11 @@ def test_corpus_resume(tmp_path, corpus):
 
 
 def test_corpus_bad_file_isolated(tmp_path, corpus):
-    src, expect = corpus
+    import shutil
+
+    shared, expect = corpus
+    src = tmp_path / "src"  # private copy: this test plants bad files
+    shutil.copytree(shared, src)
     (src / "broken.xa").write_bytes(b"KWD2" + bytes(60))
     good = next(iter(expect))
     data = bytearray((src / f"{good}.xa").read_bytes())

@@ -142,7 +142,8 @@ def test_decode_fuzz_matches_reference(ref_bjxa):
         bits = int(rng.choice([4, 6, 8]))
         channels = int(rng.choice([1, 2]))
         block_size = bits * 4 + 1
-        nblocks = int(rng.integers(1, 40))
+        # fixed ladder bounds the compile set; payloads stay fully random
+        nblocks = int(rng.choice([1, 2, 3, 5, 8, 13, 21, 34]))
         data_len = nblocks * block_size * channels
         # allow a truncated final block: samples within (max-32, max]
         max_samples = 32 * nblocks

@@ -116,3 +116,37 @@ def test_transcode_step_on_mesh(devices):
     want = blocks.transpose(0, 2, 1, 3)  # [N, B, C, S]
     np.testing.assert_array_equal(xa, want)
     assert float(mse) == 0.0
+
+
+def test_decode_bytes_auto_sp_mesh(devices):
+    """decode_bytes(mesh=) routes whole-file decode through the
+    sequence-parallel device ring when an sp axis is available and the
+    stream is long enough — bit-exact with the meshless path (SURVEY
+    §2.5 block/sequence-parallel row; the user-facing wiring of
+    decode_file_sharded)."""
+    from bjxa_tpu.format import XA_HEADER_SIZE, dump_xa_header, parse_xa_header
+    from bjxa_tpu.format.xa import XAFormat
+    from bjxa_tpu.ops.decode import decode_bytes
+
+    sp_mesh = make_mesh(devices, dp=8, sp=1, axis_names=("sp", "unused"))
+    rng = np.random.default_rng(77)
+    bits, channels, nblocks = 6, 2, 96
+    blocks = random_blocks(rng, channels, nblocks, bits)
+    size = block_size_for_bits(bits)
+    payload = np.ascontiguousarray(
+        blocks.transpose(1, 0, 2)
+    ).tobytes()  # effective blocks: channel-major within each block
+    fmt = XAFormat(
+        data_len=nblocks * size * channels,
+        samples=nblocks * 32,
+        samples_rate=44100,
+        bits=bits,
+        channels=channels,
+        initial_state=((11, -7), (3, 5)),
+    )
+    ref = decode_bytes(payload, fmt)
+    via_mesh = decode_bytes(payload, fmt, mesh=sp_mesh, sp_min_blocks=64)
+    np.testing.assert_array_equal(via_mesh, ref)
+    # short streams fall back to the single-device pipeline
+    short = decode_bytes(payload, fmt, mesh=sp_mesh, sp_min_blocks=10**6)
+    np.testing.assert_array_equal(short, ref)

@@ -75,7 +75,14 @@ def test_fused_words_kernel_matches_fused_lanes(bits):
     np.testing.assert_array_equal(np.asarray(end), np.asarray(ref_end))
 
 
-@pytest.mark.parametrize("bits", [4, 6, 8])
+@pytest.mark.parametrize(
+    "bits",
+    [
+        4,
+        pytest.param(6, marks=pytest.mark.slow),
+        pytest.param(8, marks=pytest.mark.slow),
+    ],
+)
 @pytest.mark.parametrize(
     "shape", [(7, 96), pytest.param((5, 300), marks=pytest.mark.slow)]
 )
