@@ -307,7 +307,10 @@ def _encode_truncated(fout, body, rf, bits: int, search: bool) -> int:
     enc = Encoder()
     try:
         enc.init(rf, bits)
-    except BjxaError as e:
+    except BjxaError as e:  # pragma: no cover - defensive: a parsed RIFF
+        # cannot fail init (XA payload is smaller than its PCM, so the
+        # u32 data_len cannot overflow; samples==0 never reaches the
+        # truncated branch because an empty body is not a short read)
         _perror("bjxa_encode_init", e)
         return 1
     fout.write(enc.dump_header())

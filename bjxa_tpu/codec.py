@@ -73,13 +73,6 @@ def _file_writable(f) -> bool:
         return False
 
 
-def _file_readable(f) -> bool:
-    try:
-        return f.readable()
-    except Exception:
-        return False
-
-
 class Decoder:
     """Streaming XA decoder with the reference's incremental contract."""
 

@@ -57,8 +57,10 @@ def unpack_blocks(payload: np.ndarray, bits: int) -> np.ndarray:
         )
     elif bits == 8:
         out = b << 8
-    else:  # pragma: no cover - callers validate bits upstream
-        raise BjxaProtocolError(f"unpack_blocks: bad bit depth {bits}")
+    else:
+        raise BjxaProtocolError(  # pragma: no cover - validated upstream
+            f"unpack_blocks: bad bit depth {bits}"
+        )
     return sign_extend_16(out)
 
 

@@ -33,6 +33,10 @@ def main() -> None:
     assert distributed.initialize(
         cfg["coordinator"], cfg["num_processes"], cfg["process_id"]
     )
+    # idempotent: a second call notices the wired client and returns
+    assert distributed.initialize(
+        cfg["coordinator"], cfg["num_processes"], cfg["process_id"]
+    )
 
     if cfg.get("encode"):
         from bjxa_tpu.parallel.corpus import encode_corpus

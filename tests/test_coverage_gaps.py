@@ -362,3 +362,150 @@ class TestDecodeBytesBranches:
         hdr[28:32] = (12345).to_bytes(4, "little")  # byte_rate field
         with pytest.raises(BjxaProtocolError, match="byte rate"):
             parse_riff_header(bytes(hdr))
+
+
+# ---------------------------------------------------------------------------
+# codec success paths and remaining branches
+# ---------------------------------------------------------------------------
+
+
+class TestCodecPaths:
+    def test_read_header_and_streaming_roundtrip(self, tmp_path):
+        from bjxa_tpu.api import encode_pcm
+        from bjxa_tpu.codec import Decoder
+
+        sig = (np.arange(64, dtype=np.int16) * 50).reshape(-1, 2)
+        xa = encode_pcm(sig, 44100, 6, search=False)
+        dec = Decoder()
+        assert dec.read_header(io.BytesIO(xa)) == 32
+
+    def test_write_pcm_and_header_success(self, tmp_path):
+        from bjxa_tpu.codec import Decoder, Encoder
+        from bjxa_tpu.format.riff import RiffFormat
+
+        out = tmp_path / "x.bin"
+        with open(out, "wb") as f:
+            Decoder.write_pcm(np.zeros((4, 2), np.int16), f)
+        assert out.read_bytes() == bytes(16)
+        enc = Encoder()
+        enc.init(
+            RiffFormat(data_len_pcm=64, samples_rate=44100, channels=1), 6
+        )
+        with open(out, "wb") as f:
+            assert enc.write_header(f) == 32
+        assert out.read_bytes().startswith(b"KWD1")
+
+    def test_read_riff_header_success(self):
+        from bjxa_tpu.codec import Encoder
+        from bjxa_tpu.format import dump_riff_header
+
+        enc = Encoder()
+        hdr = dump_riff_header(64, 44100, 1)
+        assert enc.read_riff_header(io.BytesIO(hdr), 6) == 44
+
+    def test_decode_invalid_first_block_numpy_path(self, monkeypatch):
+        """First block invalid on the numpy fallback: zero frames emitted,
+        protocol error raised, state untouched."""
+        from bjxa_tpu import native
+        from bjxa_tpu.api import encode_pcm
+        from bjxa_tpu.codec import Decoder
+        from bjxa_tpu.errors import BjxaProtocolError
+
+        monkeypatch.setenv("BJXA_NO_NATIVE", "1")
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_tried", False)
+        sig = (np.arange(64, dtype=np.int16) * 10).reshape(-1, 1)
+        xa = bytearray(encode_pcm(sig, 44100, 8, search=False))
+        xa[32] = 0xFF  # invalid factor, first block
+        dec = Decoder()
+        dec.parse_header(bytes(xa[:32]))
+        with pytest.raises(BjxaProtocolError):
+            dec.decode(bytes(xa[32:]))
+
+
+class TestCliRemainingBranches:
+    def test_encode_truncate_flag(self, tmp_path):
+        from bjxa_tpu.format import dump_pcm, dump_riff_header
+
+        sig = (np.arange(64, dtype=np.int16) * 7).reshape(-1, 1)
+        wav = tmp_path / "s.wav"
+        wav.write_bytes(dump_riff_header(128, 44100, 1) + dump_pcm(sig))
+        out = tmp_path / "s.xa"
+        code, _, err = run_cli("encode", "--truncate", str(wav), str(out))
+        assert code == 0, err
+        assert out.read_bytes()[:4] == b"KWD1"
+
+    def test_encode_unknown_flag_falls_through(self, tmp_path):
+        # an unknown --option is treated as a (bad) filename, matching the
+        # reference CLI's positional handling
+        code, _, err = run_cli("encode", "--bogus")
+        assert code == 1
+
+    def test_corpus_valid_batch_files(self, tmp_path):
+        from bjxa_tpu.api import encode_pcm
+
+        src = tmp_path / "xa"
+        src.mkdir()
+        sig = (np.arange(64, dtype=np.int16) * 9).reshape(-1, 1)
+        (src / "a.xa").write_bytes(encode_pcm(sig, 44100, 6, search=False))
+        code, out, err = run_cli(
+            "corpus", "--batch-files", "2",
+            str(src), str(tmp_path / "wav"),
+        )
+        assert code == 0, err
+        assert "converted 1" in out
+
+
+class TestRemainingSmallBranches:
+    def test_riff_partial_trailing_frame(self):
+        from bjxa_tpu.errors import BjxaProtocolError
+        from bjxa_tpu.format import dump_riff_header, parse_riff_header
+
+        hdr = bytearray(dump_riff_header(64, 44100, 2))
+        hdr[40:44] = (65).to_bytes(4, "little")  # data_len % frame != 0
+        hdr[4:8] = (65 + 36).to_bytes(4, "little")
+        with pytest.raises(BjxaProtocolError, match="partial trailing"):
+            parse_riff_header(bytes(hdr))
+
+    def test_process_info_fallback(self, monkeypatch):
+        import jax
+
+        from bjxa_tpu.parallel.distributed import process_info
+
+        def boom():
+            raise RuntimeError("no runtime")
+
+        monkeypatch.setattr(jax, "process_index", boom)
+        assert process_info() == (0, 1)
+
+    def test_encode_corpus_default_manifest_and_oserror(self, tmp_path):
+        from bjxa_tpu.format import dump_pcm, dump_riff_header
+        from bjxa_tpu.parallel.corpus import encode_corpus
+
+        src = tmp_path / "wav"
+        src.mkdir()
+        sig = (np.arange(64, dtype=np.int16) * 3).reshape(-1, 1)
+        (src / "a.wav").write_bytes(
+            dump_riff_header(128, 44100, 1) + dump_pcm(sig)
+        )
+        out = tmp_path / "xa"
+        out.mkdir()
+        (out / "a.xa.tmp").mkdir()  # squat: forces per-file OSError
+        res = encode_corpus(src, out, bits=6, search=False)  # default manifest
+        assert res.converted == 0 and list(res.failed)
+
+    def test_mesh_encode_truncate_branch(self):
+        import jax
+
+        from bjxa_tpu.parallel.mesh import make_mesh
+        from bjxa_tpu.parallel.sharded import encode_corpus_sharded_lanes
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(jax.devices(), dp=8, sp=1)
+        pcm = np.zeros((4, 32, 8), np.int16)
+        states = np.zeros((8, 2), np.int32)
+        blocks = encode_corpus_sharded_lanes(
+            pcm, states, bits=6, search=False, mesh=mesh
+        )
+        assert np.asarray(blocks).shape == (4, 8, 25)

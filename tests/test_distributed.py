@@ -160,9 +160,12 @@ def test_two_process_corpus_encode(tmp_path):
         assert (out / f"{stem}.xa").read_bytes() == xa
 
 
+@pytest.mark.slow
 def test_two_process_cli_corpus(tmp_path, xa_corpus):
     """The CLI's --coordinator/--num-processes/--process-id flags drive a
-    real 2-process job; only process 0 prints the (global) summary."""
+    real 2-process job; only process 0 prints the (global) summary.
+    Slow-marked: the two library-level 2-process tests above exercise the
+    same wiring; this adds only the CLI flag plumbing."""
     src, expect = xa_corpus
     out = tmp_path / "out"
     out.mkdir()

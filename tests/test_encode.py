@@ -38,7 +38,9 @@ def synth_signal(n=44100, channels=1, seed=5):
 
 
 @pytest.mark.parametrize("bits", [4, 6, 8])
-@pytest.mark.parametrize("channels", [1, 2])
+@pytest.mark.parametrize(
+    "channels", [1, pytest.param(2, marks=pytest.mark.slow)]
+)
 def test_search_beats_reference_snr(bits, channels):
     sig = synth_signal(44100, channels)
     xa = encode_pcm(sig, 44100, bits, search=True)

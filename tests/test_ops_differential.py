@@ -75,7 +75,16 @@ def test_numpy_lanes_fixpoint_matches_oracle(bits, channels, wild):
 
 @pytest.mark.parametrize("bits", [4, 6, 8])
 @pytest.mark.parametrize("channels", [1, 2])
-@pytest.mark.parametrize("nblocks,chunks", [(64, 8), (100, 7), (33, 32)])
+@pytest.mark.parametrize(
+    "nblocks,chunks",
+    [
+        (64, 8),
+        # the bigger odd-grid shapes double the compile bill for the same
+        # property; they stay in the --slow/coverage matrix
+        pytest.param(100, 7, marks=pytest.mark.slow),
+        pytest.param(33, 32, marks=pytest.mark.slow),
+    ],
+)
 def test_fixpoint_matches_sequential(bits, channels, nblocks, chunks):
     rng = np.random.default_rng(99 * bits + nblocks + channels)
     blocks = random_blocks(rng, channels, nblocks, bits, wild=True)
