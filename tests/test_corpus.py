@@ -11,25 +11,27 @@ from bjxa_tpu.parallel.corpus import decode_corpus
 
 @pytest.fixture(scope="session")
 def corpus(tmp_path_factory):
-    # session-scoped: the search-encoded corpus costs ~10 s of device
-    # encode per build; tests that mutate the directory copy it first
+    # session-scoped (tests that mutate the directory copy it first); one
+    # search-encoded file keeps realistic nonzero profiles in the mix,
+    # the rest use truncation — these tests verify corpus DECODE, and the
+    # 80-candidate search costs ~10 s of CPU-device encode per shape
     rng = np.random.default_rng(1)
     src = tmp_path_factory.mktemp("corpus") / "src"
     src.mkdir()
     expect = {}
     spec = [
-        (4, 1, 100),
-        (6, 2, 321),
-        (6, 2, 33),
-        (8, 1, 64 * 32),
-        (8, 2, 257),
-        (6, 1, 1000),
+        (4, 1, 100, False),
+        (6, 2, 321, True),
+        (6, 2, 33, False),
+        (8, 1, 64 * 32, False),
+        (8, 2, 257, False),
+        (6, 1, 1000, False),
     ]
-    for i, (bits, channels, samples) in enumerate(spec):
+    for i, (bits, channels, samples, search) in enumerate(spec):
         sig = rng.integers(-20000, 20000, size=(samples, channels)).astype(
             np.int16
         )
-        xa = encode_pcm(sig, 44100, bits, search=True)
+        xa = encode_pcm(sig, 44100, bits, search=search)
         p = src / f"file{i}.xa"
         p.write_bytes(xa)
         expect[p.stem] = xa_to_wav(xa)

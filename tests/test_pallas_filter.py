@@ -91,3 +91,29 @@ def test_pallas_saturation():
     )
     np.testing.assert_array_equal(np.asarray(pcm), np.asarray(ref_pcm))
     np.testing.assert_array_equal(np.asarray(end), np.asarray(ref_end))
+
+
+def test_pallas_states_only_device():
+    """decode_lanes_pallas(with_output=False) returns end states equal to
+    the full pass (the state-propagation mode of the fixpoint decoder on
+    the non-fused pallas path).  Compiled backends only."""
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("needs a compiled TPU backend")
+    from bjxa_tpu.ops.pallas_filter import decode_lanes_pallas
+
+    rng = np.random.default_rng(5)
+    B, L = 6, 8
+    profiles = (rng.integers(0, 5, (B, L)) << 4 | rng.integers(0, 12, (B, L))).astype(np.int32)
+    samples = rng.integers(-(2**15), 2**15, (B, 32, L)).astype(np.int32) & ~0xFF
+    state = rng.integers(-2000, 2000, (L, 2)).astype(np.int32)
+    full, full_end, _ = decode_lanes_pallas(
+        jnp.asarray(profiles), jnp.asarray(samples), jnp.asarray(state)
+    )
+    none, end, _v = decode_lanes_pallas(
+        jnp.asarray(profiles), jnp.asarray(samples), jnp.asarray(state),
+        with_output=False,
+    )
+    assert none is None
+    np.testing.assert_array_equal(np.asarray(end), np.asarray(full_end))

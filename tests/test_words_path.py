@@ -131,3 +131,24 @@ def test_decode_batch_words_matches_batch_lanes(bits):
     np.testing.assert_array_equal(got, np.asarray(ref_pcm))
     np.testing.assert_array_equal(np.asarray(end), np.asarray(ref_end))
     np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref_valid))
+
+
+def test_fused_words_states_only_device():
+    """The words kernel's states-only variant (with_output=False): end
+    states must match the full kernel's.  Compiled backends only — the
+    targeted coverage pass runs it on the real chip."""
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("needs a compiled TPU backend")
+    bits = 8
+    blocks_t, state = _mk_lanes(bits, B=8, L=16, seed=9)
+    prof, words = pack_words_from_lanes(jnp.asarray(blocks_t), bits=bits)
+    full_pcm, full_end = fused_decode_words_padded(
+        prof, words, jnp.asarray(state), bits=bits
+    )
+    _none, end = fused_decode_words_padded(
+        prof, words, jnp.asarray(state), bits=bits, with_output=False
+    )
+    assert _none is None
+    np.testing.assert_array_equal(np.asarray(end), np.asarray(full_end))
