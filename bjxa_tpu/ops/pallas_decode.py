@@ -137,7 +137,7 @@ def _states_kernel(blocks_ref, state_ref, end_ref, st_ref, *, bits,
 
 def _decode_words_kernel(prof_ref, words_ref, state_ref, out_ref, end_ref,
                          st_ref, *, bits: int, block_tile: int,
-                         with_output: bool):
+                         with_output: bool, pack_out: bool = False):
     """Packed-words twin of :func:`_decode_kernel`.
 
     The payload arrives as little-endian int32 words (4 consecutive payload
@@ -146,6 +146,12 @@ def _decode_words_kernel(prof_ref, words_ref, state_ref, out_ref, end_ref,
     extracted with shift+mask on int32 vregs.  Measured 188 vs 117 Gsamp/s
     (8-bit, v5e) against the uint8-per-sample load.  Semantics are identical
     to the reference inflate+filter (``src/libbjxa.c:286-345,533-578``).
+
+    ``pack_out``: store PCM as little-endian int32 words holding two
+    consecutive samples of the lane (``out int32[.., 16, sub, ln]``) —
+    halves the store count at +2 pack ops per pair; the int32 word's byte
+    image equals the two int16 samples in stream order, so hosts recover
+    samples with a ``view('<i2')`` + pair-axis transpose.
     """
     b = pl.program_id(1)
     num_b = pl.num_programs(1)
@@ -175,6 +181,7 @@ def _decode_words_kernel(prof_ref, words_ref, state_ref, out_ref, end_ref,
             return bytecache[i]
 
         w24 = None
+        even_s = None
         for n in range(BLOCK_SAMPLES):
             if bits == 8:
                 v = byte(n) << 8
@@ -199,7 +206,13 @@ def _decode_words_kernel(prof_ref, words_ref, state_ref, out_ref, end_ref,
             s = ranged + ((g + ((g >> 31) & 255)) >> 8)
             s = jnp.clip(s, INT16_MIN, INT16_MAX)
             if with_output:
-                out_ref[j, n] = s.astype(jnp.int16)
+                if pack_out:
+                    if n % 2 == 0:
+                        even_s = s
+                    else:
+                        out_ref[j, n // 2] = (even_s & 0xFFFF) | (s << 16)
+                else:
+                    out_ref[j, n] = s.astype(jnp.int16)
             p1 = p0
             p0 = s
     st_ref[0] = p0
@@ -221,7 +234,7 @@ def _words_states_kernel(prof_ref, words_ref, state_ref, end_ref, st_ref, *,
 @partial(
     jax.jit,
     static_argnames=("bits", "lane_tile", "block_tile", "with_output",
-                     "interpret", "sublanes"),
+                     "interpret", "sublanes", "pack_out"),
 )
 def fused_decode_words(
     prof: jnp.ndarray,
@@ -234,6 +247,7 @@ def fused_decode_words(
     with_output: bool = True,
     interpret: bool = False,
     sublanes: int = SUBLANES,
+    pack_out: bool = False,
 ):
     """Decode packed-words lane-major blocks with the fused kernel.
 
@@ -282,20 +296,20 @@ def fused_decode_words(
     )
 
     if with_output:
+        ns = BLOCK_SAMPLES // 2 if pack_out else BLOCK_SAMPLES
+        out_dt = jnp.int32 if pack_out else jnp.int16
         out, end = pl.pallas_call(
             partial(_decode_words_kernel, bits=bits, block_tile=block_tile,
-                    with_output=True),
+                    with_output=True, pack_out=pack_out),
             out_specs=[
                 pl.BlockSpec(
-                    (block_tile, BLOCK_SAMPLES, sublanes, ln),
+                    (block_tile, ns, sublanes, ln),
                     lambda l, b: (b, 0, 0, l),
                 ),
                 end_spec,
             ],
             out_shape=[
-                jax.ShapeDtypeStruct(
-                    (B, BLOCK_SAMPLES, sublanes, LN), jnp.int16
-                ),
+                jax.ShapeDtypeStruct((B, ns, sublanes, LN), out_dt),
                 end_shape,
             ],
             **params,
