@@ -50,10 +50,13 @@ Available actions:
     unspecified is 6. --truncate disables the filter
     profile search (reference-compatible output).
 
-  corpus [--batch-files <n>] [--manifest <path>] <xa dir> <wav dir>
+  corpus [--batch-files <n>] [--depth <k>] [--manifest <path>]
+         <xa dir> <wav dir>
     Decode every *.xa file in a directory to WAV files,
     batched on the device, restartable via a JSONL
     manifest (reruns skip already-converted files).
+    --depth bounds in-flight device batches and the
+    host write backlog (default 3).
     With --encode (plus optional --bits/--truncate) the
     direction reverses: every *.wav encodes to XA.
     Multi-host: --coordinator <host:port> --num-processes
@@ -326,6 +329,7 @@ def _encode_truncated(fout, body, rf, bits: int, search: bool) -> int:
 
 def _cmd_corpus(args: list[str], prog: str) -> int:
     batch_files = 64
+    depth = 3
     manifest = None
     encode = False
     bits = 6
@@ -348,6 +352,11 @@ def _cmd_corpus(args: list[str], prog: str) -> int:
             if val is None or not val.isdigit() or int(val) < 1:
                 return _fail(prog, "Invalid --batch-files")
             batch_files = int(val)
+        elif args[0] == "--depth":
+            val, args = _take_value(args)
+            if val is None or not val.isdigit() or int(val) < 1:
+                return _fail(prog, "Invalid --depth")
+            depth = int(val)
         elif args[0] == "--manifest":
             val, args = _take_value(args)
             if val is None:
@@ -420,6 +429,7 @@ def _cmd_corpus(args: list[str], prog: str) -> int:
                     search=search,
                     batch_files=batch_files,
                     manifest_path=manifest,
+                    depth=depth,
                 )
             else:
                 res = decode_corpus(
@@ -427,6 +437,7 @@ def _cmd_corpus(args: list[str], prog: str) -> int:
                     out_dir,
                     batch_files=batch_files,
                     manifest_path=manifest,
+                    depth=depth,
                 )
     except (BjxaError, OSError) as e:
         _perror("corpus", e)

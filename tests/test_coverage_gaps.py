@@ -509,3 +509,49 @@ class TestRemainingSmallBranches:
             pcm, states, bits=6, search=False, mesh=mesh
         )
         assert np.asarray(blocks).shape == (4, 8, 25)
+
+
+class TestCorpusDepthFlag:
+    def test_depth_flag_parses_and_runs(self, tmp_path):
+        from bjxa_tpu.api import encode_pcm
+
+        src = tmp_path / "xa"
+        src.mkdir()
+        sig = (np.arange(64, dtype=np.int16) * 11).reshape(-1, 1)
+        (src / "a.xa").write_bytes(encode_pcm(sig, 44100, 6, search=False))
+        code, out, err = run_cli(
+            "corpus", "--depth", "1",
+            str(src), str(tmp_path / "wav"),
+        )
+        assert code == 0, err
+        assert "converted 1" in out
+
+    def test_bad_depth(self):
+        code, _, err = run_cli("corpus", "--depth", "0", "a", "b")
+        assert code == 1 and "Invalid --depth" in err
+
+    def test_depth_one_matches_default(self, tmp_path):
+        """Pipeline depth changes scheduling only, never bytes."""
+        from bjxa_tpu.api import encode_pcm
+        from bjxa_tpu.parallel.corpus import decode_corpus
+
+        rng = np.random.default_rng(21)
+        src = tmp_path / "xa"
+        src.mkdir()
+        for i in range(5):
+            sig = rng.integers(
+                -20000, 20000, size=(37 * 32 + i, 2)
+            ).astype(np.int16)
+            (src / f"f{i}.xa").write_bytes(
+                encode_pcm(sig, 44100, 8, search=False)
+            )
+        out1, out2 = tmp_path / "o1", tmp_path / "o2"
+        r1 = decode_corpus(src, out1, batch_files=2, depth=1,
+                           manifest_path=tmp_path / "m1.jsonl")
+        r2 = decode_corpus(src, out2, batch_files=2, depth=4,
+                           manifest_path=tmp_path / "m2.jsonl")
+        assert r1.converted == r2.converted == 5
+        for i in range(5):
+            assert (out1 / f"f{i}.wav").read_bytes() == (
+                out2 / f"f{i}.wav"
+            ).read_bytes()
