@@ -41,8 +41,12 @@ Available actions:
   help
     Show this message and exit.
 
-  decode [--streaming] [<xa file> [<wav file>]]
+  decode [--streaming] [--devices <n>] [<xa file> [<wav file>]]
     Read an XA file and convert it into a WAV file.
+    Long streams shard their block range across all
+    local devices (sequence parallel); --devices caps
+    the device count (BJXA_DEVICES env equivalent;
+    1 forces single-device).
 
   encode [--bits <4|6|8>] [--truncate] [wav file> [<xa file>]]
     Read a WAV file and convert it into an XA file.
@@ -51,10 +55,14 @@ Available actions:
     profile search (reference-compatible output).
 
   corpus [--batch-files <n>] [--depth <k>] [--manifest <path>]
-         <xa dir> <wav dir>
+         [--devices <n>] <xa dir> <wav dir>
     Decode every *.xa file in a directory to WAV files,
     batched on the device, restartable via a JSONL
     manifest (reruns skip already-converted files).
+    On a multi-device host the file/channel lanes of
+    every batch shard across all local devices (data
+    parallel); --devices caps the device count
+    (BJXA_DEVICES env equivalent; 1 forces one device).
     --depth bounds in-flight device batches and the
     host write backlog (default 3).
     With --encode (plus optional --bits/--truncate) the
@@ -66,6 +74,56 @@ Available actions:
     reports cross-host totals. --trace <dir> captures a
     jax.profiler trace; --stats prints throughput rates.
 """
+
+
+def _mesh_devices(devices_opt: int | None):
+    """Resolve the local device list for CLI auto-meshing.
+
+    ``devices_opt`` (the --devices flag) falls back to ``BJXA_DEVICES``;
+    unset means all local devices.  Local (not global) devices so that
+    under ``jax.distributed`` each process meshes only the chips it owns
+    — multi-process sharding stays at the file-list level.
+
+    Returns the device list, or None when only one device would be used
+    (single-device paths skip shard_map entirely).
+    """
+    import jax
+
+    n = devices_opt
+    if n is None:
+        env = os.environ.get("BJXA_DEVICES")
+        if env:
+            n = int(env)
+    devs = jax.local_devices()
+    if n is not None:
+        if n < 1 or n > len(devs):
+            raise ValueError(
+                f"--devices {n} out of range (1..{len(devs)} available)"
+            )
+        devs = devs[:n]
+    return devs if len(devs) > 1 else None
+
+
+def _dp_mesh(devices_opt: int | None):
+    """Data-parallel mesh over the local devices (corpus lane sharding),
+    or None for single-device runs."""
+    devs = _mesh_devices(devices_opt)
+    if devs is None:
+        return None
+    from bjxa_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(devs, dp=len(devs), sp=1)
+
+
+def _sp_mesh(devices_opt: int | None):
+    """Sequence-parallel mesh over the local devices (long-stream block
+    sharding), or None for single-device runs."""
+    devs = _mesh_devices(devices_opt)
+    if devs is None:
+        return None
+    from bjxa_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(devs, dp=len(devs), sp=1, axis_names=("sp", "_"))
 
 
 def _usage(prog: str, file) -> None:
@@ -98,9 +156,18 @@ def _open_output(path: str | None):
 
 def _cmd_decode(args: list[str], prog: str) -> int:
     streaming = False
-    if args and args[0] == "--streaming":
-        streaming = True
-        args = args[1:]
+    devices = None
+    while args and args[0].startswith("--"):
+        if args[0] == "--streaming":
+            streaming = True
+            args = args[1:]
+        elif args[0] == "--devices":
+            if len(args) < 2 or not args[1].isdigit() or int(args[1]) < 1:
+                return _fail(prog, "Invalid --devices")
+            devices = int(args[1])
+            args = args[2:]
+        else:
+            break
     if len(args) > 2:
         return _fail(prog, "Too many arguments")
 
@@ -116,7 +183,7 @@ def _cmd_decode(args: list[str], prog: str) -> int:
         return 1
 
     try:
-        return _decode_stream(fin, fout, streaming)
+        return _decode_stream(fin, fout, streaming, devices=devices)
     finally:
         if close_in:
             fin.close()
@@ -124,7 +191,7 @@ def _cmd_decode(args: list[str], prog: str) -> int:
             fout.close()
 
 
-def _decode_stream(fin, fout, streaming: bool) -> int:
+def _decode_stream(fin, fout, streaming: bool, devices=None) -> int:
     header = fin.read(XA_HEADER_SIZE)
     if header is None or len(header) < XA_HEADER_SIZE:
         sys.stderr.write("bjxa_fread_header: Input/output error\n")
@@ -164,7 +231,11 @@ def _decode_stream(fin, fout, streaming: bool) -> int:
     from bjxa_tpu.ops.decode import decode_bytes
 
     try:
-        pcm = decode_bytes(payload, fmt)
+        # Long streams shard their block range over the local devices
+        # (sequence-parallel ppermute ring, bit-exact); decode_bytes
+        # ignores the mesh for short streams and _sp_mesh returns None on
+        # single-device hosts, so the default path is unchanged there.
+        pcm = decode_bytes(payload, fmt, mesh=_sp_mesh(devices))
     except BjxaProtocolError as e:
         # emit the valid prefix, as the reference's block loop does, then
         # report the failure (src/bjxa_decode.c:122-137)
@@ -184,22 +255,31 @@ def _decode_truncated(fout, payload, fmt):
     (``src/bjxa_decode.c:122-152``): each complete block present decodes
     and writes before the short ``fread`` fails — and an invalid profile
     inside that prefix fails with the protocol error first.
+
+    Work is capped at the blocks actually present: a reduced format keeps
+    memory and compute O(available) even when a corrupt header promises a
+    huge (up to u32) ``data_len``, matching the reference's O(block)
+    streaming memory rather than materializing the promised stream.
     """
+    import dataclasses
+
     from bjxa_tpu.ops.decode import decode_bytes_validity
 
     avail = len(payload) // fmt.block_size_xa
     if avail:
-        # zero pad = valid profile-0 dummy blocks; trimmed below
-        padded = (
-            bytes(payload[: avail * fmt.block_size_xa])
-            + bytes(fmt.data_len - avail * fmt.block_size_xa)
+        # avail < fmt.blocks here, so avail*32 < fmt.samples (header
+        # validation pins samples within 32 of blocks*32) — the sample
+        # limit never binds on a truncated stream.
+        sub = dataclasses.replace(
+            fmt,
+            data_len=avail * fmt.block_size_xa,
+            samples=min(fmt.samples, avail * 32),
         )
-        frames, valid = decode_bytes_validity(padded, fmt)
+        frames, valid = decode_bytes_validity(payload[: sub.data_len], sub)
         v = np.asarray(valid).all(axis=1)
         first_bad = int(np.argmin(v)) if not v.all() else len(v)
         good = min(first_bad, avail)
-        limit = fmt.data_len_pcm // (2 * fmt.channels)
-        out = np.asarray(frames[: min(good * 32, limit)])
+        out = np.asarray(frames[: good * 32])
         if out.size:
             fout.write(dump_pcm(out))
         if first_bad < avail:
@@ -340,6 +420,7 @@ def _cmd_corpus(args: list[str], prog: str) -> int:
     process_id = None
     trace_dir = None
     stats = False
+    devices = None
 
     def _take_value(args):
         if len(args) < 2:
@@ -398,6 +479,11 @@ def _cmd_corpus(args: list[str], prog: str) -> int:
         elif args[0] == "--stats":
             stats = True
             args = args[1:]
+        elif args[0] == "--devices":
+            val, args = _take_value(args)
+            if val is None or not val.isdigit() or int(val) < 1:
+                return _fail(prog, "Invalid --devices")
+            devices = int(val)
         else:
             return _fail(prog, f"Unknown option {args[0]}")
     if saw_encode_opts and not encode:
@@ -417,6 +503,13 @@ def _cmd_corpus(args: list[str], prog: str) -> int:
         distributed.initialize(coordinator, num_processes, process_id)
     except ValueError as e:
         return _fail(prog, str(e))
+    try:
+        # Auto-mesh: every batch's file/channel lanes shard over all the
+        # process's local devices (data parallel, zero communication);
+        # single-device hosts get None and the unsharded fast path.
+        mesh = _dp_mesh(devices)
+    except ValueError as e:
+        return _fail(prog, str(e))
     profiler = Profiler(trace_dir)
 
     try:
@@ -429,6 +522,7 @@ def _cmd_corpus(args: list[str], prog: str) -> int:
                     search=search,
                     batch_files=batch_files,
                     manifest_path=manifest,
+                    mesh=mesh,
                     depth=depth,
                 )
             else:
@@ -437,6 +531,7 @@ def _cmd_corpus(args: list[str], prog: str) -> int:
                     out_dir,
                     batch_files=batch_files,
                     manifest_path=manifest,
+                    mesh=mesh,
                     depth=depth,
                 )
     except (BjxaError, OSError) as e:

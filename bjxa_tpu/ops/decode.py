@@ -783,7 +783,7 @@ def decode_bytes(
             axis=sp_axis,
         )
         check_valid(valid[: fmt.blocks], fmt.channels)
-        return pcm[: fmt.samples]
+        return np.asarray(pcm[: fmt.samples])
     frames, valid = decode_bytes_validity(
         payload,
         fmt,

@@ -248,28 +248,38 @@ def decode_corpus(
         bmax = max(f.blocks for _, f, _ in chunk)
         Bs = min(bucket, -(-bmax // bucket_granularity) * bucket_granularity)
         if mesh is not None:
-            # Sharded path keeps the lane-major uint8 staging.
+            # Sharded path: same packed-words staging as the single-device
+            # path (words + profile bytes + states as three lane-sharded
+            # arrays), flat per-shard PCM back (full-rate D2H).
+            W = bits
             states = np.zeros((L, 2), np.int32)
-            blocks_t = np.zeros((Bs, size, L), np.uint8)
+            prof = np.zeros((Bs, L), np.uint8)
+            words8 = np.zeros((Bs, W, L, 4), np.uint8)
             for i, (path, fmt, payload) in enumerate(chunk):
                 raw = np.frombuffer(
                     payload, np.uint8, count=fmt.blocks * fmt.block_size_xa
                 ).reshape(fmt.blocks, channels, size)
                 lanes = slice(i * channels, (i + 1) * channels)
-                blocks_t[: fmt.blocks, :, lanes] = raw.transpose(0, 2, 1)
+                prof[: fmt.blocks, lanes] = raw[:, :, 0]
+                words8[: fmt.blocks, :, lanes, :] = (
+                    raw[:, :, 1:]
+                    .reshape(fmt.blocks, channels, W, 4)
+                    .transpose(0, 2, 1, 3)
+                )
                 states[lanes] = fmt.initial_state_array()
+            words = words8.view("<i4")[..., 0]
             from bjxa_tpu.parallel.sharded import (
-                decode_corpus_sharded_lanes,
+                decode_corpus_sharded_words,
             )
 
             # Validity is checked host-side from the staged profile plane
             # (the device result is not transferred back).
-            valid = (blocks_t[:, 0, :] >> 4) < 5
-            pcm, _end, _dvalid = decode_corpus_sharded_lanes(
-                blocks_t, states, bits=bits, mesh=mesh
+            valid = (prof >> 4) < 5
+            pcm, reassemble = decode_corpus_sharded_words(
+                prof, words, states, bits=bits, mesh=mesh
             )
             _start_readback(pcm)
-            return channels, Bs, chunk, pcm, valid
+            return channels, Bs, chunk, (pcm, reassemble), valid
 
         # Single-device fast path: stage the whole batch into ONE packed
         # int32 buffer (payload words + profile bytes + predictor states,
@@ -336,12 +346,16 @@ def decode_corpus(
 
     def flush(pending):
         channels, nblocks, chunk, pcm, valid = pending
-        # The packed path returns flat 1-D PCM (full-rate transfer, see
-        # decode_batch_packed); the mesh path returns [nblocks, 32, L].
-        # Either way the reshape/trim here is a free numpy view.
+        # Both paths return flat 1-D PCM (full-rate transfer); the packed
+        # path's reshape is a free numpy view, the mesh path's shard-major
+        # reassembly is one host-memory copy (negligible vs the link).
         lanes_total = len(chunk) * channels
-        pcm = np.asarray(pcm)  # lands the (already-started) D2H transfer
-        pcm = pcm.reshape(nblocks, BLOCK_SAMPLES, -1)[:, :, :lanes_total]
+        if isinstance(pcm, tuple):
+            pcm, reassemble = pcm
+            pcm = reassemble(np.asarray(pcm))[:, :, :lanes_total]
+        else:
+            pcm = np.asarray(pcm)  # lands the (already-started) transfer
+            pcm = pcm.reshape(nblocks, BLOCK_SAMPLES, -1)[:, :, :lanes_total]
         # WAV serialization + disk writes run on the writer thread so the
         # next batch's transfer is not stalled behind file I/O.
         writer.put(write_batch, channels, nblocks, chunk, pcm, valid)
@@ -451,15 +465,15 @@ def encode_corpus(
             frames[: pcm.shape[0], ln] = pcm
         if mesh is not None:
             from bjxa_tpu.parallel.sharded import (
-                encode_corpus_sharded_lanes,
+                encode_corpus_sharded_flat,
             )
 
             states0 = np.zeros((L, 2), np.int32)
-            blocks = encode_corpus_sharded_lanes(
+            blocks, reassemble = encode_corpus_sharded_flat(
                 lanes, states0, bits=bits, search=search, mesh=mesh
             )
             _start_readback(blocks)
-            return channels, L, chunk, blocks
+            return channels, L, chunk, (blocks, reassemble)
         # Single dispatch, single upload, single readback (the zero
         # initial state is synthesized on device; flat output transfers
         # at full link rate).
@@ -506,9 +520,13 @@ def encode_corpus(
 
     def flush(pending):
         channels, L, chunk, blocks = pending
-        # packed path returns flat bytes; the reshape is a free view
-        # (mesh path arrives already [Bs, L, S])
-        blocks = np.asarray(blocks).reshape(-1, L, bits * 4 + 1)
+        # Both paths return flat bytes; the packed path's reshape is a
+        # free view, the mesh path's shard-major reassembly one host copy.
+        if isinstance(blocks, tuple):
+            blocks, reassemble = blocks
+            blocks = reassemble(np.asarray(blocks))
+        else:
+            blocks = np.asarray(blocks).reshape(-1, L, bits * 4 + 1)
         writer.put(write_batch, channels, chunk, blocks)
 
     with _SerialWriter(depth=depth) as writer:

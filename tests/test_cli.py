@@ -420,3 +420,143 @@ def test_corpus_encode_truncate_action(tmp_path):
     assert (out / "t.xa").read_bytes() == encode_pcm(
         pcm, 44100, 8, search=False
     )
+
+
+# -- multi-device CLI (VERDICT r3 item 1) -----------------------------------
+
+
+def test_decode_huge_promised_data_len_truncated():
+    """A tiny file whose header promises a huge u32 data_len decodes only
+    the blocks that arrived — O(available) work and memory, like the
+    reference's O(block) streaming loop — instead of materializing the
+    promised stream (ADVICE r3)."""
+    import numpy as np
+
+    from bjxa_tpu.format import dump_pcm, dump_riff_header
+    from bjxa_tpu.format.xa import XAFormat, dump_xa_header
+
+    nblocks = 4_000_000  # promises ~200 MB payload / ~1 GB PCM
+    fmt = XAFormat(
+        data_len=nblocks * 50,
+        samples=nblocks * 32,
+        samples_rate=44100,
+        bits=6,
+        channels=2,
+        initial_state=((0, 0), (0, 0)),
+    )
+    data = dump_xa_header(fmt) + bytes(3 * 50)  # 3 effective blocks
+    code, out, err = run_cli(["decode"], stdin=data)
+    assert code == 1
+    assert "End of file" in err
+    want = dump_riff_header(fmt.data_len_pcm, 44100, 2) + dump_pcm(
+        np.zeros((3 * 32, 2), np.int16)
+    )
+    assert out == want
+
+
+def test_cli_corpus_auto_mesh(tmp_path, monkeypatch):
+    """``bjxa corpus`` auto-builds a dp mesh over the local devices: batch
+    PCM is sharded across all 8 virtual devices (asserted via sharding
+    introspection) and output is byte-identical to the per-file path."""
+    import jax
+    import numpy as np
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bjxa_tpu.api import encode_pcm, xa_to_wav
+    from bjxa_tpu.parallel import sharded
+
+    rng = np.random.default_rng(3)
+    src = tmp_path / "src"
+    src.mkdir()
+    expect = {}
+    for i, (bits, ch, samples) in enumerate([(6, 2, 300), (4, 1, 100)]):
+        sig = rng.integers(-20000, 20000, size=(samples, ch)).astype(
+            np.int16
+        )
+        xa = encode_pcm(sig, 44100, bits, search=False)
+        (src / f"f{i}.xa").write_bytes(xa)
+        expect[f"f{i}"] = xa_to_wav(xa)
+
+    shardings = []
+    orig = sharded.decode_corpus_sharded_words
+
+    def spy(*a, **k):
+        pcm_flat, reasm = orig(*a, **k)
+        shardings.append(pcm_flat.sharding)
+        return pcm_flat, reasm
+
+    monkeypatch.setattr(sharded, "decode_corpus_sharded_words", spy)
+    out = tmp_path / "out"
+    code, _, err = run_cli(["corpus", str(src), str(out)])
+    assert code == 0, err
+    assert shardings, "corpus did not route through the sharded path"
+    for sh in shardings:
+        assert len(sh.device_set) == 8, sh
+    for stem, wav in expect.items():
+        assert (out / f"{stem}.wav").read_bytes() == wav
+
+
+def test_cli_corpus_devices_one_forces_single(tmp_path, monkeypatch):
+    """--devices 1 keeps the single-device packed path (no shard_map)."""
+    import numpy as np
+
+    from bjxa_tpu.api import encode_pcm
+    from bjxa_tpu.parallel import sharded
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sig = np.zeros((100, 1), np.int16)
+    (src / "f.xa").write_bytes(encode_pcm(sig, 44100, 6, search=False))
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("sharded path used with --devices 1")
+
+    monkeypatch.setattr(sharded, "decode_corpus_sharded_words", boom)
+    out = tmp_path / "out"
+    code, _, err = run_cli(
+        ["corpus", "--devices", "1", str(src), str(out)]
+    )
+    assert code == 0, err
+
+
+def test_cli_decode_long_stream_auto_sp(tmp_path, monkeypatch):
+    """CLI decode of a long stream auto-shards its block range across the
+    local devices (the ppermute ring) and is byte-identical to the forced
+    single-device run."""
+    import jax
+    import numpy as np
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from bjxa_tpu.api import encode_pcm
+    from bjxa_tpu.parallel import sharded
+
+    rng = np.random.default_rng(9)
+    sig = rng.integers(-25000, 25000, size=(2100 * 32, 1)).astype(np.int16)
+    xa = encode_pcm(sig, 44100, 6, search=False)
+
+    calls = []
+    orig = sharded.decode_file_sharded
+
+    def spy(*a, **k):
+        calls.append(k.get("mesh"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sharded, "decode_file_sharded", spy)
+    code, out_mesh, err = run_cli(["decode"], stdin=xa)
+    assert code == 0, err
+    assert len(calls) == 1, "long stream did not use the sp ring"
+    code, out_single, err = run_cli(["decode", "--devices", "1"], stdin=xa)
+    assert code == 0, err
+    assert len(calls) == 1  # forced single-device run stayed off the ring
+    assert out_mesh == out_single
+
+
+def test_cli_devices_validation():
+    code, _, err = run_cli(["decode", "--devices", "0"])
+    assert code == 1 and "Invalid --devices" in err
+    code, _, err = run_cli(["corpus", "--devices", "x", "a", "b"])
+    assert code == 1 and "Invalid --devices" in err
+    code, _, err = run_cli(["corpus", "--devices", "4096", ".", "."])
+    assert code == 1 and "out of range" in err

@@ -150,3 +150,57 @@ def test_decode_bytes_auto_sp_mesh(devices):
     # short streams fall back to the single-device pipeline
     short = decode_bytes(payload, fmt, mesh=sp_mesh, sp_min_blocks=10**6)
     np.testing.assert_array_equal(short, ref)
+
+
+def test_corpus_words_flat_sharded(devices):
+    """The packed-words lane-sharded corpus decode (flat per-shard D2H)
+    reassembles bit-identically to the unsharded lane pipeline, including
+    lane padding up to the mesh axis size."""
+    from bjxa_tpu.ops.decode import (
+        decode_batch_lanes,
+        words_from_blocks_host,
+    )
+    from bjxa_tpu.parallel.sharded import decode_corpus_sharded_words
+
+    mesh = make_mesh(devices, dp=8, sp=1)
+    rng = np.random.default_rng(5)
+    bits, C, B, N = 6, 2, 40, 11  # 22 lanes -> pads to 24
+    blocks = np.stack([random_blocks(rng, C, B, bits) for _ in range(N)])
+    blocks_t = np.ascontiguousarray(
+        blocks.transpose(2, 3, 0, 1).reshape(B, -1, N * C)
+    )
+    states = rng.integers(-100, 100, size=(N * C, 2)).astype(np.int32)
+    prof, words = words_from_blocks_host(blocks_t, bits)
+    pcm_flat, reassemble = decode_corpus_sharded_words(
+        prof, words, states, bits=bits, mesh=mesh
+    )
+    assert np.asarray(pcm_flat).ndim == 1  # flat on the wire
+    pcm = reassemble(np.asarray(pcm_flat))
+    ref_raw, _, _ = decode_batch_lanes(blocks_t, states, bits=bits)
+    ref = np.asarray(ref_raw).reshape(B, 32, -1)[:, :, : N * C]
+    np.testing.assert_array_equal(pcm, ref)
+
+
+def test_encode_corpus_flat_sharded(devices):
+    """The flat-output lane-sharded corpus encode matches the 3-D-output
+    variant byte for byte after host reassembly."""
+    from bjxa_tpu.parallel.sharded import (
+        encode_corpus_sharded_flat,
+        encode_corpus_sharded_lanes,
+    )
+
+    mesh = make_mesh(devices, dp=8, sp=1)
+    rng = np.random.default_rng(6)
+    B, L = 12, 10  # pads to 16 lanes
+    pcm = rng.integers(-30000, 30000, size=(B, 32, L)).astype(np.int16)
+    states = np.zeros((L, 2), np.int32)
+    ref = np.asarray(
+        encode_corpus_sharded_lanes(
+            pcm, states, bits=6, search=False, mesh=mesh
+        )
+    )
+    flat, reassemble = encode_corpus_sharded_flat(
+        pcm, states, bits=6, search=False, mesh=mesh
+    )
+    assert np.asarray(flat).ndim == 1
+    np.testing.assert_array_equal(reassemble(np.asarray(flat)), ref)
