@@ -41,12 +41,16 @@ Available actions:
   help
     Show this message and exit.
 
-  decode [--streaming] [--devices <n>] [<xa file> [<wav file>]]
+  decode [--streaming] [--devices <n>] [--segment-blocks <n>]
+         [<xa file> [<wav file>]]
     Read an XA file and convert it into a WAV file.
     Long streams shard their block range across all
     local devices (sequence parallel); --devices caps
     the device count (BJXA_DEVICES env equivalent;
-    1 forces single-device).
+    1 forces single-device).  Files whose payload + PCM
+    exceed 256 MB stream through the device in bounded-
+    memory segments; --segment-blocks forces segmented
+    decode with the given segment size.
 
   encode [--bits <4|6|8>] [--truncate] [wav file> [<xa file>]]
     Read a WAV file and convert it into an XA file.
@@ -157,6 +161,7 @@ def _open_output(path: str | None):
 def _cmd_decode(args: list[str], prog: str) -> int:
     streaming = False
     devices = None
+    segment_blocks = None
     while args and args[0].startswith("--"):
         if args[0] == "--streaming":
             streaming = True
@@ -165,6 +170,11 @@ def _cmd_decode(args: list[str], prog: str) -> int:
             if len(args) < 2 or not args[1].isdigit() or int(args[1]) < 1:
                 return _fail(prog, "Invalid --devices")
             devices = int(args[1])
+            args = args[2:]
+        elif args[0] == "--segment-blocks":
+            if len(args) < 2 or not args[1].isdigit() or int(args[1]) < 1:
+                return _fail(prog, "Invalid --segment-blocks")
+            segment_blocks = int(args[1])
             args = args[2:]
         else:
             break
@@ -183,7 +193,10 @@ def _cmd_decode(args: list[str], prog: str) -> int:
         return 1
 
     try:
-        return _decode_stream(fin, fout, streaming, devices=devices)
+        return _decode_stream(
+            fin, fout, streaming, devices=devices,
+            segment_blocks=segment_blocks,
+        )
     finally:
         if close_in:
             fin.close()
@@ -191,7 +204,17 @@ def _cmd_decode(args: list[str], prog: str) -> int:
             fout.close()
 
 
-def _decode_stream(fin, fout, streaming: bool, devices=None) -> int:
+# Whole-file decodes whose payload + PCM exceed this byte budget switch to
+# the segmented bounded-memory device pipeline (override with
+# BJXA_SEGMENT_THRESHOLD; the reference streams with O(block) memory and
+# the format allows u32 data_len, bjxa.5.rst:77-79).
+_SEGMENT_THRESHOLD = 256 << 20
+_SEGMENT_BLOCKS = 65536
+
+
+def _decode_stream(
+    fin, fout, streaming: bool, devices=None, segment_blocks=None
+) -> int:
     header = fin.read(XA_HEADER_SIZE)
     if header is None or len(header) < XA_HEADER_SIZE:
         sys.stderr.write("bjxa_fread_header: Input/output error\n")
@@ -224,6 +247,14 @@ def _decode_stream(fin, fout, streaming: bool, devices=None) -> int:
             left -= 1
         return 0
 
+    threshold = int(
+        os.environ.get("BJXA_SEGMENT_THRESHOLD", _SEGMENT_THRESHOLD)
+    )
+    if segment_blocks or fmt.data_len + fmt.data_len_pcm > threshold:
+        return _decode_segmented(
+            fin, fout, fmt, segment_blocks or _SEGMENT_BLOCKS
+        )
+
     payload = fin.read(fmt.data_len)
     if payload is None or len(payload) < fmt.data_len:
         return _decode_truncated(fout, payload or b"", fmt)
@@ -245,6 +276,27 @@ def _decode_stream(fin, fout, streaming: bool, devices=None) -> int:
         _perror("bjxa_decode", e)
         return 1
     fout.write(dump_pcm(pcm))
+    return 0
+
+
+def _decode_segmented(fin, fout, fmt, segment_blocks: int) -> int:
+    """Bounded-memory decode loop: segments stream through the device and
+    land on disk as they finish; error labels match the one-shot paths
+    (the reference's block loop emits the valid prefix before failing,
+    ``src/bjxa_decode.c:122-152``)."""
+    from bjxa_tpu.ops.decode import iter_decode_segments
+
+    try:
+        for pcm in iter_decode_segments(
+            fin.read, fmt, segment_blocks=segment_blocks
+        ):
+            fout.write(dump_pcm(pcm))
+    except EOFError:
+        sys.stderr.write("fread: End of file\n")
+        return 1
+    except BjxaProtocolError as e:
+        _perror("bjxa_decode", e)
+        return 1
     return 0
 
 

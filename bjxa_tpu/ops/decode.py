@@ -737,6 +737,89 @@ def decode_bytes_validity(
     return frames, valid[:B]
 
 
+def iter_decode_segments(
+    read,
+    fmt: XAFormat,
+    *,
+    segment_blocks: int = 65536,
+    parallel: bool = True,
+):
+    """Bounded-memory device decode: stream a file through the device in
+    fixed-size block segments, carrying the exact predictor end state
+    between segments.
+
+    Sequential segments need no boundary fixed point: each segment's entry
+    state is the true decoded state (the last two samples of the previous
+    segment), so the intra-segment chunk fixpoint runs as usual and the
+    yielded PCM is bit-identical to the one-shot path.  Peak memory is
+    O(segment) regardless of the header's u32-scale ``data_len`` — the
+    device-rate analog of the reference's O(block) streaming loop
+    (``src/bjxa_decode.c:102-161``; u32 sizes ``bjxa.5.rst:77-79``).
+
+    All full segments share one compiled program (the tail buckets like
+    any short file).
+
+    Args:
+      read: ``read(nbytes) -> bytes`` pulling from the stream (a short
+        result means the stream is truncated).
+      segment_blocks: effective blocks per segment (65536 ≈ 3.2 MB XA /
+        16 MB PCM at 6-bit stereo).
+
+    Yields interleaved ``int16[n, channels]`` numpy frames per segment.
+    Raises :class:`BjxaProtocolError` after yielding a failing segment's
+    valid prefix, or :class:`EOFError` after yielding a truncated
+    stream's decoded prefix (callers emit the reference's stderr labels).
+    """
+    import dataclasses
+
+    state = fmt.initial_state_array()
+    left_blocks = fmt.blocks
+    done_blocks = 0
+    while left_blocks > 0:
+        nblk = min(segment_blocks, left_blocks)
+        payload = read(nblk * fmt.block_size_xa) or b""
+        avail = len(payload) // fmt.block_size_xa
+        truncated = avail < nblk
+        use = avail if truncated else nblk
+        if use == 0:
+            raise EOFError("truncated XA stream")
+        seg_state = tuple(
+            tuple(int(x) for x in row) for row in state
+        ) + ((0, 0),) * (2 - len(state))
+        sub = dataclasses.replace(
+            fmt,
+            data_len=use * fmt.block_size_xa,
+            samples=use * BLOCK_SAMPLES,
+            initial_state=seg_state,
+        )
+        frames, valid = decode_bytes_validity(
+            payload[: sub.data_len], sub, parallel=parallel
+        )
+        v = np.asarray(valid)[:use]
+        vb = v.all(axis=1)
+        good = int(np.argmin(vb)) if not vb.all() else use
+        limit = min(use * BLOCK_SAMPLES,
+                    fmt.samples - done_blocks * BLOCK_SAMPLES)
+        out = np.asarray(frames[: min(good * BLOCK_SAMPLES, limit)])
+        if good < use:
+            if out.size:
+                yield out
+            idx = int(np.argmin(v.reshape(-1)))
+            raise BjxaProtocolError(
+                f"invalid block profile factor in block "
+                f"{done_blocks + idx // fmt.channels}"
+                f" channel {idx % fmt.channels}"
+            )
+        if out.size:
+            yield out
+        if truncated:
+            raise EOFError("truncated XA stream")
+        fr = np.asarray(frames[use * BLOCK_SAMPLES - 2: use * BLOCK_SAMPLES])
+        state = np.stack([fr[1], fr[0]], axis=-1).astype(np.int32)
+        left_blocks -= use
+        done_blocks += use
+
+
 def decode_bytes(
     payload: bytes | memoryview,
     fmt: XAFormat,
