@@ -28,6 +28,15 @@ jax.config.update("jax_platforms", "cpu")
 def main() -> None:
     cfg = json.loads(sys.argv[1])
 
+    if cfg.get("devices"):
+        # N-process x M-device composition: each process exposes M virtual
+        # CPU devices (must be set before the CPU client is instantiated)
+        # and drives its file shard through a LOCAL M-device mesh.
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={cfg['devices']}"
+        )
+
     from bjxa_tpu.parallel import distributed
 
     assert distributed.initialize(
@@ -38,10 +47,32 @@ def main() -> None:
         cfg["coordinator"], cfg["num_processes"], cfg["process_id"]
     )
 
+    mesh = None
+    mesh_shardings = []
+    if cfg.get("devices"):
+        from bjxa_tpu.parallel import sharded
+        from bjxa_tpu.parallel.mesh import make_mesh
+
+        local = jax.local_devices()
+        assert len(local) == cfg["devices"], (local, cfg["devices"])
+        mesh = make_mesh(local, dp=len(local), sp=1)
+
+        # record how many devices each sharded batch actually spanned
+        orig = sharded.decode_corpus_sharded_words
+
+        def spy(*a, **k):
+            pcm, reasm = orig(*a, **k)
+            mesh_shardings.append(len(pcm.sharding.device_set))
+            return pcm, reasm
+
+        sharded.decode_corpus_sharded_words = spy
+
     if cfg.get("encode"):
         from bjxa_tpu.parallel.corpus import encode_corpus
 
-        res = encode_corpus(cfg["src"], cfg["out"], bits=cfg.get("bits", 6))
+        res = encode_corpus(
+            cfg["src"], cfg["out"], bits=cfg.get("bits", 6), mesh=mesh
+        )
         suffix = "*.xa"
         manifest = (
             pathlib.Path(cfg["out"])
@@ -50,7 +81,7 @@ def main() -> None:
     else:
         from bjxa_tpu.parallel.corpus import decode_corpus
 
-        res = decode_corpus(cfg["src"], cfg["out"])
+        res = decode_corpus(cfg["src"], cfg["out"], mesh=mesh)
         suffix = "*.wav"
         manifest = (
             pathlib.Path(cfg["out"])
@@ -93,6 +124,7 @@ def main() -> None:
                 "global_failed": global_failed,
                 "global_samples": counters.samples,
                 "global_files": counters.files,
+                "mesh_shardings": mesh_shardings,
             }
         ),
         flush=True,

@@ -116,6 +116,52 @@ def test_two_process_corpus_decode(tmp_path, xa_corpus):
         assert (out / f"{stem}.wav").read_bytes() == wav
 
 
+def test_two_process_four_device_corpus(tmp_path, xa_corpus):
+    """2 OS processes (gloo) x 4 virtual devices each — the configuration
+    a real pod uses: every process drives its round-robin file shard
+    through ``decode_corpus(mesh=)`` over a LOCAL 4-device mesh, batches
+    genuinely shard across the 4 devices (asserted via sharding
+    introspection inside each worker), shards stay disjoint, and the
+    combined output is byte-identical to the single-everything result
+    (VERDICT r3 item 4)."""
+    src, expect = xa_corpus
+    out = tmp_path / "out"
+    out.mkdir()
+    port = _free_port()
+    cfgs = [
+        {
+            "coordinator": f"127.0.0.1:{port}",
+            "num_processes": 2,
+            "process_id": i,
+            "src": str(src),
+            "out": str(out),
+            "devices": 4,
+        }
+        for i in range(2)
+    ]
+    reports = _spawn_workers(cfgs)
+
+    for i, rep in enumerate(reports):
+        assert rep["process_index"] == i
+        assert rep["process_count"] == 2
+        assert rep["local_devices"] == 4
+        assert rep["global_devices"] == 8
+        # every sharded batch this process ran spanned all 4 local devices
+        assert rep["mesh_shardings"], "no batch used the sharded path"
+        assert all(n == 4 for n in rep["mesh_shardings"]), rep
+
+    done0 = set(reports[0]["inputs_done"])
+    done1 = set(reports[1]["inputs_done"])
+    assert done0 and done1
+    assert not (done0 & done1)
+    assert done0 | done1 == {f"{stem}.xa" for stem in expect}
+    for rep in reports:
+        assert rep["global_converted"] == len(expect)
+        assert rep["global_failed"] == 0
+    for stem, wav in expect.items():
+        assert (out / f"{stem}.wav").read_bytes() == wav
+
+
 def test_two_process_corpus_encode(tmp_path):
     from bjxa_tpu.api import encode_pcm as encode_one
     from bjxa_tpu.format import dump_pcm, dump_riff_header
@@ -173,6 +219,13 @@ def test_two_process_cli_corpus(tmp_path, xa_corpus):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["BJXA_PLATFORM"] = "cpu"
+    # 4 virtual devices per process: the CLI auto-meshes over its LOCAL
+    # devices while jax.distributed shards the file list — the full
+    # N-process x M-device composition through the shipped tool.
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    )
     procs = [
         subprocess.Popen(
             [
