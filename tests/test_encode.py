@@ -119,3 +119,90 @@ def test_wav_roundtrip_padding():
     _, dec = decode_xa(xa)
     assert dec.shape == (32 * 5 + 13, 1)
     assert snr_db(sig, dec) > REFERENCE_SNR[8]
+
+
+# -- profile-search ranking contract (VERDICT r3 item 7) ---------------------
+#
+# The contract (docs/bjxa-tpu.3.md "Profile-search ranking contract"):
+# the winning candidate minimizes reconstruction error energy accumulated
+# in float32, in sample order, over candidates ordered factor*16+range
+# with a strictly-less argmin (ties keep the earliest candidate).  All
+# implementations share that exact arithmetic, so they always agree;
+# tools/encode_rank_probe.py measures that f32 ranking never diverges
+# from exact int64 ranking on random blocks (0/80k; min top-2 exact gap
+# 1.1e-3 relative vs the 4e-6 f32 accumulation error bound).
+
+
+def _all_impl_profiles(pcm, bits):
+    """Profiles picked by the scan encoder, the Pallas kernel (interpret
+    mode at a small tile: op-by-op equality guarantees the compiled
+    kernel) and the native C++ encoder.  ``pcm``: ``int32[B, 32, 16]``
+    (16 lanes — the Pallas sublane packing needs a multiple of 8)."""
+    from bjxa_tpu.ops.encode import encode_search_scan
+    from bjxa_tpu.ops.pallas_encode import encode_search_pallas_core
+
+    B, _, L = pcm.shape
+    assert L == 16, L
+    state = np.zeros((L, 2), np.int32)
+    prof_scan, _, _, _ = encode_search_scan(
+        jnp.asarray(pcm), jnp.asarray(state), bits=bits
+    )
+    prof_pl, _, _, _ = encode_search_pallas_core(
+        jnp.asarray(pcm),
+        jnp.asarray(state),
+        bits=bits,
+        lane_tile=16,
+        block_tile=B,
+        interpret=True,
+    )
+    out = [np.asarray(prof_scan), np.asarray(prof_pl)]
+    from bjxa_tpu import native
+
+    if native.available():
+        # one mono stream per lane (lanes are independent by contract)
+        prof_nat = np.empty((B, L), np.int32)
+        for lane in range(L):
+            st = np.zeros((1, 2), np.int32)
+            blocks = native.encode_blocks(
+                np.ascontiguousarray(
+                    pcm[:, :, lane].reshape(-1, 1)
+                ).astype(np.int16),
+                bits,
+                st,
+                search=True,
+            )
+            prof_nat[:, lane] = blocks[:, 0, 0]
+        out.append(prof_nat)
+    return out
+
+
+def test_rank_contract_exact_tie_breaks_to_first_candidate():
+    """A multi-way EXACT tie (several candidates reconstruct with zero
+    error): the strictly-less argmin keeps the earliest candidate in
+    order, so profile 0x00 wins — pinned across all implementations."""
+    rng = np.random.default_rng(11)
+    # multiples of 1024 within headroom: factor 0 reconstructs them
+    # exactly at range 0 AND range 1 (at least) -> exact zero-error tie
+    pcm = (rng.integers(-14, 14, size=(1, 32, 16)) * 1024).astype(np.int32)
+    for prof in _all_impl_profiles(pcm, 6):
+        assert prof.reshape(-1).tolist() == [0] * 16, prof
+
+
+def test_rank_contract_near_tie_pins_candidate_order():
+    """A constructed near-tie: constant 1536 is missed by candidate 0
+    (range 0 quantizes to 2048) but nailed by candidate 1 (range 1), so
+    profile 0x01 must win in every implementation."""
+    pcm = np.full((1, 32, 16), 1536, np.int32)
+    for prof in _all_impl_profiles(pcm, 6):
+        assert prof.reshape(-1).tolist() == [1] * 16, prof
+
+
+def test_rank_contract_impls_agree_on_high_energy_blocks():
+    """Full-scale noise blocks (error energy ~1e11, deep past the f32
+    mantissa): every implementation still picks identical profiles — the
+    shared-arithmetic half of the ranking contract."""
+    rng = np.random.default_rng(13)
+    pcm = rng.integers(-32768, 32768, size=(1, 32, 16)).astype(np.int32)
+    profs = _all_impl_profiles(pcm, 6)
+    for other in profs[1:]:
+        np.testing.assert_array_equal(profs[0], other)
