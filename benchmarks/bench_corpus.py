@@ -74,17 +74,54 @@ def main():
     gen_s = time.perf_counter() - t_gen0
 
     # warm the compile cache with one batch-shaped run, then time fresh.
-    # The tunnel's bandwidth swings ~2x between runs, so the timed run
-    # repeats and the best sustained pass is reported, with the link
-    # measured before AND after (its fastest observation = capability).
     decode_corpus(src, dst, batch_files=batch_files,
                   manifest_path=os.path.join(work, "warm.jsonl"))
     shutil.rmtree(dst)
 
-    # --- link probe (see the ablation block below for the rationale) ----
     import jax
     import jax.numpy as jnp
 
+    # --- transfer-size ramp: separate fixed cost from bandwidth ---------
+    # One transfer costs ~fixed + n/bw through the tunnel; fitting both
+    # terms attributes the engine's per-batch round trips separately from
+    # its byte volume (VERDICT r3: the former were previously folded into
+    # an "in-engine transfer-rate deficit").  Least squares over a size
+    # ramp, min-of-reps per size (the tunnel's slow tail is congestion,
+    # not capability).
+    def ramp(direction):
+        sizes = [1 << 16, 1 << 20, 1 << 22, 1 << 24, 1 << 25]
+        ts = []
+        for n in sizes:
+            host = np.zeros(n, np.uint8)
+            best = None
+            for r in range(3):
+                if direction == "up":
+                    host[0] = r
+                    t0 = time.perf_counter()
+                    jax.device_put(host).block_until_ready()
+                    d = time.perf_counter() - t0
+                else:
+                    buf = (jnp.zeros(n, jnp.uint8) + r).block_until_ready()
+                    t0 = time.perf_counter()
+                    np.asarray(buf)
+                    d = time.perf_counter() - t0
+                best = d if best is None else min(best, d)
+            ts.append(best)
+        A = np.stack([np.ones(len(sizes)), np.asarray(sizes, float)], 1)
+        (fixed, inv_bw), *_ = np.linalg.lstsq(A, np.asarray(ts), rcond=None)
+        return max(fixed, 0.0), 1.0 / max(inv_bw, 1e-12)
+
+    up_fixed_s, up_bw = ramp("up")
+    down_fixed_s, down_bw = ramp("down")
+
+    # --- interleaved probes + repeated runs, median reporting -----------
+    # The tunnel swings ~2x between runs; a single probe paired with a
+    # single run confounds engine quality with tunnel weather.  Probes at
+    # batch-sized transfers bracket EVERY engine run; each run's
+    # utilization uses the faster of its two bracketing probes per
+    # direction (the link's demonstrated capability at that moment), and
+    # the MEDIAN across runs is the headline (the best run is reported
+    # alongside — it is the optimistic pairing, not the typical one).
     base = jnp.zeros(batch_files * channels * samples, jnp.int16)
     host_buf = np.zeros(base.size, np.int16)
 
@@ -104,66 +141,86 @@ def main():
         nbytes = base.size * 2
         return nbytes / min(down) / 1e6, nbytes / min(up) / 1e6
 
-    d1, u1 = probe_link(100)
+    total_samples = n_files * samples * channels
+    wav_bytes = total_samples * 2 + n_files * 44
+    xa_bytes = n_files * (32 + data_len)
+    n_batches = -(-n_files // batch_files)
 
-    dt = None
-    for rep in range(int(os.environ.get("BENCH_REPS", "2"))):
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+    probes = [probe_link(100)]
+    runs = []
+    for rep in range(reps):
         t0 = time.perf_counter()
         res = decode_corpus(
             src, dst, batch_files=batch_files,
             manifest_path=os.path.join(work, f"timed{rep}.jsonl"),
         )
         d = time.perf_counter() - t0
-        dt = d if dt is None else min(dt, d)
         assert res.converted == n_files, res
         shutil.rmtree(dst)
-    total_samples = n_files * samples * channels
-    wav_bytes = total_samples * 2 + n_files * 44
+        probes.append(probe_link(101 + rep))
+        runs.append(d)
 
-    # --- link ablation: raw host<->device bandwidth ----------------------
-    # The corpus engine ships the XA payload up and 4-8x that back down as
-    # PCM; on a thin serialized link (this environment's ~tens-of-MB/s
-    # tunnel; PCIe on a real host) the roofline is
-    #     dt_min = bytes_up/up_bw + bytes_down/down_bw
-    # and utilization = dt_min/dt tells whether the engine or the link is
-    # the idle party.
-    # capability = fastest observation across two probes bracketing the
-    # timed runs; using the faster link makes the utilization claim
-    # conservative (smaller roofline numerator)
-    d2, u2 = probe_link(200)
-    down_mb_s = max(d1, d2)
-    up_mb_s = max(u1, u2)
-    xa_bytes = n_files * (32 + data_len)
-    up_s = xa_bytes / 1e6 / up_mb_s
-    down_s = wav_bytes / 1e6 / down_mb_s
-    # serialized roofline: every byte waits its turn on a half-duplex
-    # link; duplex roofline: uploads ride under downloads (the tunnel is
-    # substantially full-duplex per tools/link_probe.py), so the floor is
-    # the bigger direction alone
-    dt_min = up_s + down_s
-    dt_min_duplex = max(up_s, down_s)
-    corpus_mb_s = wav_bytes / dt / 1e6
+    def run_stats(i, d):
+        d1, u1 = probes[i]
+        d2, u2 = probes[i + 1]
+        down_mb_s, up_mb_s = max(d1, d2), max(u1, u2)
+        up_s = xa_bytes / 1e6 / up_mb_s
+        down_s = wav_bytes / 1e6 / down_mb_s
+        # duplex roofline: uploads ride under downloads (the tunnel is
+        # substantially full-duplex, tools/link_probe.py), so the floor
+        # is the bigger direction alone
+        return {
+            "s": d,
+            "files_per_s": n_files / d,
+            "util_serial": (up_s + down_s) / d,
+            "util_duplex": max(up_s, down_s) / d,
+        }
+
+    stats = [run_stats(i, d) for i, d in enumerate(runs)]
+    by_time = sorted(stats, key=lambda s: s["s"])
+    best = by_time[0]
+    median = by_time[len(by_time) // 2]
+
+    # model roofline from the ramp fit: per-batch fixed round trips plus
+    # byte volume at fitted bandwidth (duplex floor: the slower-modeled
+    # direction alone)
+    model_up = n_batches * up_fixed_s + xa_bytes / up_bw
+    model_down = n_batches * down_fixed_s + wav_bytes / down_bw
+    model_duplex_s = max(model_up, model_down)
 
     print(
         json.dumps(
             {
                 "metric": "corpus_decode_files_per_s",
-                "value": round(n_files / dt, 1),
+                "value": round(median["files_per_s"], 1),
                 "unit": "files/s",
-                "msamples_per_s": round(total_samples / dt / 1e6, 1),
+                "best_files_per_s": round(best["files_per_s"], 1),
+                "msamples_per_s": round(
+                    total_samples * median["files_per_s"] / n_files / 1e6, 1
+                ),
                 "files": n_files,
                 "samples_per_file": samples * channels,
                 "gen_s": round(gen_s, 1),
-                "link_down_mb_per_s": round(down_mb_s, 1),
-                "link_up_mb_per_s": round(up_mb_s, 1),
-                "corpus_mb_out_per_s": round(corpus_mb_s, 1),
-                "link_roofline_s": round(dt_min, 2),
-                "link_utilization": round(dt_min / dt, 3),
-                "duplex_roofline_s": round(dt_min_duplex, 2),
-                "duplex_utilization": round(dt_min_duplex / dt, 3),
-                "actual_s": round(dt, 2),
+                "runs_s": [round(s["s"], 2) for s in stats],
+                "probe_down_mb_s": [round(p[0], 1) for p in probes],
+                "probe_up_mb_s": [round(p[1], 1) for p in probes],
+                "median_utilization": round(median["util_serial"], 3),
+                "median_duplex_utilization": round(
+                    median["util_duplex"], 3
+                ),
+                "best_utilization": round(best["util_serial"], 3),
+                "best_duplex_utilization": round(best["util_duplex"], 3),
+                "ramp_up_fixed_ms": round(up_fixed_s * 1e3, 1),
+                "ramp_up_mb_s": round(up_bw / 1e6, 1),
+                "ramp_down_fixed_ms": round(down_fixed_s * 1e3, 1),
+                "ramp_down_mb_s": round(down_bw / 1e6, 1),
+                "model_duplex_s": round(model_duplex_s, 2),
+                "model_duplex_utilization": round(
+                    model_duplex_s / median["s"], 3
+                ),
                 "backend": jax.default_backend(),
-                "vs_baseline": round((n_files / dt) / 77.0, 2),
+                "vs_baseline": round(median["files_per_s"] / 77.0, 2),
             }
         )
     )
