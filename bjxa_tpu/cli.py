@@ -52,11 +52,15 @@ Available actions:
     memory segments; --segment-blocks forces segmented
     decode with the given segment size.
 
-  encode [--bits <4|6|8>] [--truncate] [wav file> [<xa file>]]
+  encode [--bits <4|6|8>] [--truncate] [--segment-blocks <n>]
+         [wav file> [<xa file>]]
     Read a WAV file and convert it into an XA file.
     The default number of bits per sample, when left
     unspecified is 6. --truncate disables the filter
     profile search (reference-compatible output).
+    Files whose PCM exceeds 256 MB stream through the
+    device in bounded-memory segments (exact carried
+    search state); --segment-blocks forces it.
 
   corpus [--batch-files <n>] [--depth <k>] [--manifest <path>]
          [--devices <n>] <xa dir> <wav dir>
@@ -362,6 +366,7 @@ def _decode_valid_prefix(payload, fmt):
 def _cmd_encode(args: list[str], prog: str) -> int:
     bits = 6
     search = True
+    segment_blocks = None
     while args and args[0].startswith("--"):
         if args[0] == "--bits":
             args = args[1:]
@@ -377,6 +382,11 @@ def _cmd_encode(args: list[str], prog: str) -> int:
         elif args[0] == "--truncate":
             search = False
             args = args[1:]
+        elif args[0] == "--segment-blocks":
+            if len(args) < 2 or not args[1].isdigit() or int(args[1]) < 1:
+                return _fail(prog, "Invalid --segment-blocks")
+            segment_blocks = int(args[1])
+            args = args[2:]
         else:
             break
     if len(args) > 2:
@@ -394,7 +404,9 @@ def _cmd_encode(args: list[str], prog: str) -> int:
         return 1
 
     try:
-        return _encode_stream(fin, fout, bits, search)
+        return _encode_stream(
+            fin, fout, bits, search, segment_blocks=segment_blocks
+        )
     finally:
         if close_in:
             fin.close()
@@ -402,7 +414,9 @@ def _cmd_encode(args: list[str], prog: str) -> int:
             fout.close()
 
 
-def _encode_stream(fin, fout, bits: int, search: bool) -> int:
+def _encode_stream(
+    fin, fout, bits: int, search: bool, segment_blocks=None
+) -> int:
     header = fin.read(RIFF_HEADER_SIZE)
     if header is None or len(header) < RIFF_HEADER_SIZE:
         sys.stderr.write("bjxa_fread_riff_header: Input/output error\n")
@@ -412,6 +426,14 @@ def _encode_stream(fin, fout, bits: int, search: bool) -> int:
     except BjxaError as e:
         _perror("bjxa_fread_riff_header", e)
         return 1
+
+    threshold = int(
+        os.environ.get("BJXA_SEGMENT_THRESHOLD", _SEGMENT_THRESHOLD)
+    )
+    if segment_blocks or rf.data_len_pcm > threshold:
+        return _encode_segmented(
+            fin, fout, rf, bits, search, segment_blocks or _SEGMENT_BLOCKS
+        )
 
     body = fin.read(rf.data_len_pcm)
     if body is None or len(body) < rf.data_len_pcm:
@@ -427,6 +449,43 @@ def _encode_stream(fin, fout, bits: int, search: bool) -> int:
         _perror("bjxa_encode", e)
         return 1
     fout.write(xa)
+    return 0
+
+
+def _encode_segmented(
+    fin, fout, rf, bits: int, search: bool, segment_blocks: int
+) -> int:
+    """Bounded-memory encode loop: segments of PCM stream through the
+    device with the search state carried exactly, bit-identical to the
+    one-shot encoder (the streaming reference loop writes the header
+    before reading blocks, ``src/bjxa_encode.c:108-160``)."""
+    from bjxa_tpu.format import dump_xa_header
+    from bjxa_tpu.format.xa import XAFormat
+    from bjxa_tpu.ops.encode import iter_encode_segments
+
+    nblocks = -(-rf.samples // 32)
+    fmt = XAFormat(
+        data_len=nblocks * (bits * 4 + 1) * rf.channels,
+        samples=rf.samples,
+        samples_rate=rf.samples_rate,
+        bits=bits,
+        channels=rf.channels,
+        initial_state=((0, 0), (0, 0)),
+    ).validate()
+    fout.write(dump_xa_header(fmt))
+    try:
+        for chunk in iter_encode_segments(
+            fin.read,
+            rf.channels,
+            rf.samples,
+            bits=bits,
+            search=search,
+            segment_blocks=segment_blocks,
+        ):
+            fout.write(chunk)
+    except EOFError:
+        sys.stderr.write("fread: End of file\n")
+        return 1
     return 0
 
 

@@ -116,6 +116,81 @@ def encode_batch_blocks(pcm: jnp.ndarray, *, bits: int, search: bool):
     return deflate_blocks(profiles, coded.transpose(0, 2, 1), bits).reshape(-1)
 
 
+def iter_encode_segments(
+    read,
+    channels: int,
+    samples: int,
+    *,
+    bits: int,
+    search: bool,
+    segment_blocks: int = 65536,
+):
+    """Bounded-memory device encode: stream PCM through the device in
+    fixed-size block segments, carrying the exact predictor/search state
+    between segments.
+
+    The profile search is greedy per block, so segmenting cannot change
+    any choice: segment k+1 starts from the exact carried end state
+    (``encode_search``'s ``end_state``) and the emitted bytes are
+    bit-identical to the one-shot encoder at O(segment) peak memory —
+    the encode mirror of :func:`bjxa_tpu.ops.decode.iter_decode_segments`
+    (reference anchor: the streaming encode loop
+    ``src/bjxa_encode.c:108-160`` with O(block) memory).
+
+    Args:
+      read: ``read(nbytes) -> bytes`` pulling little-endian int16
+        interleaved PCM (a short result means the stream is truncated).
+      samples: frames per channel the container header promises.
+
+    Yields packed XA block bytes per segment.  On a truncated stream,
+    yields the whole blocks that arrived (matching the streaming
+    encoder's behavior), then raises :class:`EOFError`.
+    """
+    from bjxa_tpu.ops.decode import pad_bucket
+    from bjxa_tpu.ops.deflate import deflate_blocks
+
+    frame_bytes = 2 * channels
+    state = jnp.zeros((channels, 2), jnp.int32)
+    left = samples
+    while left > 0:
+        want_frames = min(segment_blocks * BLOCK_SAMPLES, left)
+        body = read(want_frames * frame_bytes) or b""
+        got = len(body) // frame_bytes
+        truncated = got < want_frames
+        if truncated:
+            nblocks = got // BLOCK_SAMPLES  # whole blocks only mid-stream
+            frames_used = nblocks * BLOCK_SAMPLES
+        else:
+            nblocks = -(-want_frames // BLOCK_SAMPLES)
+            frames_used = want_frames
+        if nblocks:
+            # full segments share one compiled shape; the tail buckets
+            Bp = min(segment_blocks, pad_bucket(nblocks))
+            arr = np.zeros((Bp * BLOCK_SAMPLES, channels), np.int32)
+            arr[:frames_used] = (
+                np.frombuffer(body, "<i2", count=frames_used * channels)
+                .reshape(-1, channels)
+            )
+            lanes = arr.reshape(Bp, BLOCK_SAMPLES, channels)
+            if search:
+                profiles, coded, _recon, end = encode_search(
+                    jnp.asarray(lanes), state, bits=bits
+                )
+            else:
+                profiles, coded = encode_truncate(jnp.asarray(lanes))
+                end = state
+            blocks = deflate_blocks(
+                profiles, coded.transpose(0, 2, 1), bits
+            )
+            yield np.asarray(blocks[:nblocks]).tobytes()
+            if Bp == nblocks:
+                state = end  # exact (pad blocks would corrupt it, but a
+                # padded segment is always the last one emitted)
+        if truncated:
+            raise EOFError("truncated PCM stream")
+        left -= want_frames
+
+
 @partial(jax.jit, static_argnames=("bits",))
 def encode_search_scan(pcm: jnp.ndarray, state: jnp.ndarray, *, bits: int):
     """Greedy exhaustive profile-search encode.

@@ -203,3 +203,79 @@ def test_segmented_decode_bounded_rss(tmp_path):
     # identical compiled shapes, so the delta is pure per-file memory:
     # O(segment), not O(file) — far below the 228 MB payload+PCM total.
     assert rss_big - rss_small < 100 * 1024, (rss_big, rss_small)
+
+
+# -- segmented encode (the encode mirror) -----------------------------------
+
+
+@pytest.mark.parametrize("search", [True, False])
+@pytest.mark.parametrize("nsamples", [700 * 32, 700 * 32 - 13])
+def test_segmented_encode_bit_exact(search, nsamples):
+    """Segmented encode carries the exact search state between segments:
+    bytes identical to the one-shot encoder, including the zero-padded
+    partial final block."""
+    from bjxa_tpu.ops.encode import iter_encode_segments
+
+    rng = np.random.default_rng(nsamples + search)
+    pcm = rng.integers(-25000, 25000, size=(nsamples, 2)).astype(np.int16)
+    want = encode_pcm(pcm, 44100, 6, search=search)
+    body = pcm.astype("<i2").tobytes()
+    got = b"".join(
+        iter_encode_segments(
+            io.BytesIO(body).read, 2, nsamples,
+            bits=6, search=search, segment_blocks=96,
+        )
+    )
+    assert got == want[XA_HEADER_SIZE:]
+
+
+def test_segmented_encode_truncated_matches_streaming():
+    """A truncated PCM stream yields exactly the whole blocks present
+    (the streaming encoder's contract), then raises EOFError."""
+    from bjxa_tpu.ops.encode import iter_encode_segments
+
+    rng = np.random.default_rng(5)
+    nsamples = 4 * 96 * 32
+    pcm = rng.integers(-25000, 25000, size=(nsamples, 1)).astype(np.int16)
+    want = encode_pcm(pcm, 44100, 6, search=True)
+    cut_frames = 2 * 96 * 32 + 5 * 32 + 7  # mid-block, mid-frame is below
+    body = pcm[:cut_frames].astype("<i2").tobytes() + b"\x01"
+    out = []
+    with pytest.raises(EOFError):
+        for chunk in iter_encode_segments(
+            io.BytesIO(body).read, 1, nsamples,
+            bits=6, search=True, segment_blocks=96,
+        ):
+            out.append(chunk)
+    got = b"".join(out)
+    nblocks_whole = cut_frames // 32
+    assert got == want[XA_HEADER_SIZE : XA_HEADER_SIZE + nblocks_whole * 25]
+
+
+def test_cli_segmented_encode_matches_oneshot(tmp_path):
+    """`encode --segment-blocks` produces byte-identical XA output, and a
+    truncated body matches the non-segmented truncated path."""
+    from bjxa_tpu.format import dump_pcm, dump_riff_header
+    from tests.test_cli import run_cli
+
+    rng = np.random.default_rng(8)
+    pcm = rng.integers(-20000, 20000, size=(500 * 32 - 9, 2)).astype(
+        np.int16
+    )
+    wav = dump_riff_header(pcm.size * 2, 44100, 2) + dump_pcm(pcm)
+    code, one, err = run_cli(["encode"], stdin=wav)
+    assert code == 0, err
+    code, seg, err = run_cli(
+        ["encode", "--segment-blocks", "128"], stdin=wav
+    )
+    assert code == 0, err
+    assert seg == one
+
+    cut = wav[: 44 + (300 * 32 + 11) * 4 + 2]
+    code, one_t, err1 = run_cli(["encode"], stdin=cut)
+    assert code == 1 and "End of file" in err1
+    code, seg_t, err2 = run_cli(
+        ["encode", "--segment-blocks", "128"], stdin=cut
+    )
+    assert code == 1 and "End of file" in err2
+    assert seg_t == one_t
