@@ -256,7 +256,8 @@ def _decode_stream(
     )
     if segment_blocks or fmt.data_len + fmt.data_len_pcm > threshold:
         return _decode_segmented(
-            fin, fout, fmt, segment_blocks or _SEGMENT_BLOCKS
+            fin, fout, fmt, segment_blocks or _SEGMENT_BLOCKS,
+            mesh=_sp_mesh(devices),
         )
 
     payload = fin.read(fmt.data_len)
@@ -283,16 +284,17 @@ def _decode_stream(
     return 0
 
 
-def _decode_segmented(fin, fout, fmt, segment_blocks: int) -> int:
+def _decode_segmented(fin, fout, fmt, segment_blocks: int, mesh=None) -> int:
     """Bounded-memory decode loop: segments stream through the device and
     land on disk as they finish; error labels match the one-shot paths
     (the reference's block loop emits the valid prefix before failing,
-    ``src/bjxa_decode.c:122-152``)."""
+    ``src/bjxa_decode.c:122-152``).  On a multi-device host each segment
+    additionally shards across the local devices (sp ring)."""
     from bjxa_tpu.ops.decode import iter_decode_segments
 
     try:
         for pcm in iter_decode_segments(
-            fin.read, fmt, segment_blocks=segment_blocks
+            fin.read, fmt, segment_blocks=segment_blocks, mesh=mesh
         ):
             fout.write(dump_pcm(pcm))
     except EOFError:

@@ -743,6 +743,8 @@ def iter_decode_segments(
     *,
     segment_blocks: int = 65536,
     parallel: bool = True,
+    mesh=None,
+    sp_axis: str = "sp",
 ):
     """Bounded-memory device decode: stream a file through the device in
     fixed-size block segments, carrying the exact predictor end state
@@ -765,6 +767,12 @@ def iter_decode_segments(
       segment_blocks: effective blocks per segment (65536 ≈ 3.2 MB XA /
         16 MB PCM at 6-bit stereo).
 
+    With a multi-device ``mesh`` carrying an ``sp_axis`` of size > 1,
+    every segment's block range is additionally sequence-parallel sharded
+    across the mesh devices (the ppermute boundary-state ring) — the
+    pod-scale path for huge files: O(segment) host memory AND all chips
+    decoding, still bit-identical.
+
     Yields interleaved ``int16[n, channels]`` numpy frames per segment.
     Raises :class:`BjxaProtocolError` after yielding a failing segment's
     valid prefix, or :class:`EOFError` after yielding a truncated
@@ -772,6 +780,11 @@ def iter_decode_segments(
     """
     import dataclasses
 
+    use_mesh = (
+        mesh is not None
+        and sp_axis in getattr(mesh, "shape", {})
+        and mesh.shape[sp_axis] > 1
+    )
     state = fmt.initial_state_array()
     left_blocks = fmt.blocks
     done_blocks = 0
@@ -792,9 +805,20 @@ def iter_decode_segments(
             samples=use * BLOCK_SAMPLES,
             initial_state=seg_state,
         )
-        frames, valid = decode_bytes_validity(
-            payload[: sub.data_len], sub, parallel=parallel
-        )
+        if use_mesh:
+            from bjxa_tpu.parallel.sharded import decode_file_sharded
+
+            frames, valid, _rounds = decode_file_sharded(
+                blocks_from_bytes(payload[: sub.data_len], sub),
+                sub.initial_state_array(),
+                bits=fmt.bits,
+                mesh=mesh,
+                axis=sp_axis,
+            )
+        else:
+            frames, valid = decode_bytes_validity(
+                payload[: sub.data_len], sub, parallel=parallel
+            )
         v = np.asarray(valid)[:use]
         vb = v.all(axis=1)
         good = int(np.argmin(vb)) if not vb.all() else use

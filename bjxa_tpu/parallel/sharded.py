@@ -372,22 +372,7 @@ def decode_file_sharded(
 
     from bjxa_tpu.ops.filter import _fused_default
 
-    fn = jax.jit(
-        shard_map(
-            partial(
-                _sharded_body,
-                bits=bits,
-                axis=axis,
-                local_chunks=K,
-                channels=C,
-                fused=_fused_default(),
-            ),
-            mesh=mesh,
-            in_specs=(P(axis, None, None, None), P(None, None)),
-            out_specs=(P(axis, None), P(axis, None), P(axis)),
-            check_vma=False,  # body holds a pallas_call (no vma out_shape)
-        ),
-    )
+    fn = _file_sharded_fn(mesh, axis, bits, K, C, _fused_default())
     pcm, valid, rounds = fn(
         jnp.asarray(blocks_lm), jnp.asarray(state, jnp.int32)
     )
@@ -395,6 +380,30 @@ def decode_file_sharded(
         np.asarray(pcm)[: B * BLOCK_SAMPLES],
         np.asarray(valid)[:B],
         int(np.asarray(rounds).reshape(-1)[0]),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _file_sharded_fn(mesh: Mesh, axis: str, bits: int, local_chunks: int,
+                     channels: int, fused: bool):
+    """Cached jitted shard_map for the sequence-parallel ring decoder (a
+    fresh wrapper per call would re-trace once per call — segmented
+    huge-file decode calls this once per segment)."""
+    return jax.jit(
+        shard_map(
+            partial(
+                _sharded_body,
+                bits=bits,
+                axis=axis,
+                local_chunks=local_chunks,
+                channels=channels,
+                fused=fused,
+            ),
+            mesh=mesh,
+            in_specs=(P(axis, None, None, None), P(None, None)),
+            out_specs=(P(axis, None), P(axis, None), P(axis)),
+            check_vma=False,  # body holds a pallas_call (no vma out_shape)
+        ),
     )
 
 

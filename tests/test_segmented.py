@@ -279,3 +279,38 @@ def test_cli_segmented_encode_matches_oneshot(tmp_path):
     )
     assert code == 1 and "End of file" in err2
     assert seg_t == one_t
+
+
+def test_segmented_decode_on_sp_mesh(stream):
+    """Segmented decode composes with the sequence-parallel device ring:
+    every segment shards over the 8-device mesh and the concatenated
+    result is bit-identical (the pod-scale huge-file path)."""
+    import jax
+
+    from bjxa_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    fmt, payload, ref = stream
+    mesh = make_mesh(jax.devices(), dp=8, sp=1, axis_names=("sp", "_"))
+    parts = list(
+        iter_decode_segments(
+            io.BytesIO(payload).read, fmt, segment_blocks=96, mesh=mesh
+        )
+    )
+    np.testing.assert_array_equal(np.concatenate(parts), ref)
+
+    # a bad profile in a later segment still reports the absolute block
+    bad = bytearray(payload)
+    bad_block = 2 * 96 + 7
+    bad[bad_block * fmt.block_size_xa] = 0xF0
+    out = []
+    with pytest.raises(BjxaProtocolError) as e:
+        for p in iter_decode_segments(
+            io.BytesIO(bytes(bad)).read, fmt, segment_blocks=96, mesh=mesh
+        ):
+            out.append(p)
+    assert f"block {bad_block}" in str(e.value)
+    np.testing.assert_array_equal(
+        np.concatenate(out), ref[: bad_block * 32]
+    )
