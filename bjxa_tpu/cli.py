@@ -101,7 +101,10 @@ def _mesh_devices(devices_opt: int | None):
     if n is None:
         env = os.environ.get("BJXA_DEVICES")
         if env:
-            n = int(env)
+            try:
+                n = int(env)
+            except ValueError:
+                raise ValueError(f"Invalid BJXA_DEVICES {env!r}")
     devs = jax.local_devices()
     if n is not None:
         if n < 1 or n > len(devs):
@@ -219,6 +222,11 @@ _SEGMENT_BLOCKS = 65536
 def _decode_stream(
     fin, fout, streaming: bool, devices=None, segment_blocks=None
 ) -> int:
+    try:
+        sp_mesh = _sp_mesh(devices)
+    except ValueError as e:
+        sys.stderr.write(f"bjxa: {e}\n")
+        return 1
     header = fin.read(XA_HEADER_SIZE)
     if header is None or len(header) < XA_HEADER_SIZE:
         sys.stderr.write("bjxa_fread_header: Input/output error\n")
@@ -257,7 +265,7 @@ def _decode_stream(
     if segment_blocks or fmt.data_len + fmt.data_len_pcm > threshold:
         return _decode_segmented(
             fin, fout, fmt, segment_blocks or _SEGMENT_BLOCKS,
-            mesh=_sp_mesh(devices),
+            mesh=sp_mesh,
         )
 
     payload = fin.read(fmt.data_len)
@@ -271,7 +279,7 @@ def _decode_stream(
         # (sequence-parallel ppermute ring, bit-exact); decode_bytes
         # ignores the mesh for short streams and _sp_mesh returns None on
         # single-device hosts, so the default path is unchanged there.
-        pcm = decode_bytes(payload, fmt, mesh=_sp_mesh(devices))
+        pcm = decode_bytes(payload, fmt, mesh=sp_mesh)
     except BjxaProtocolError as e:
         # emit the valid prefix, as the reference's block loop does, then
         # report the failure (src/bjxa_decode.c:122-137)

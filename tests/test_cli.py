@@ -560,3 +560,14 @@ def test_cli_devices_validation():
     assert code == 1 and "Invalid --devices" in err
     code, _, err = run_cli(["corpus", "--devices", "4096", ".", "."])
     assert code == 1 and "out of range" in err
+
+
+def test_cli_devices_env_validation(monkeypatch):
+    monkeypatch.setenv("BJXA_DEVICES", "banana")
+    code, _, err = run_cli(["decode"], stdin=b"")
+    assert code == 1 and "Invalid BJXA_DEVICES" in err
+    code, _, err = run_cli(["corpus", ".", "."])
+    assert code == 1 and "Invalid BJXA_DEVICES" in err
+    monkeypatch.setenv("BJXA_DEVICES", "4096")
+    code, _, err = run_cli(["decode"], stdin=b"")
+    assert code == 1 and "out of range" in err
