@@ -417,11 +417,11 @@ def encode_corpus(
         paths = [pathlib.Path(p) for p in inputs]
     paths = paths[process_index::process_count]
 
-    manifest = Manifest(
-        manifest_path
-        if manifest_path is not None
-        else out_dir / f".bjxa-encode-manifest-{process_index}.jsonl"
-    )
+    if manifest_path is None:
+        manifest_path = (
+            out_dir / f".bjxa-encode-manifest-{process_index}.jsonl"
+        )
+    manifest = Manifest(manifest_path)
 
     counters = Counters()
     failed: dict[str, str] = {}

@@ -571,3 +571,18 @@ def test_cli_devices_env_validation(monkeypatch):
     monkeypatch.setenv("BJXA_DEVICES", "4096")
     code, _, err = run_cli(["decode"], stdin=b"")
     assert code == 1 and "out of range" in err
+
+
+def test_cli_segment_blocks_validation():
+    code, _, err = run_cli(["decode", "--segment-blocks", "0"])
+    assert code == 1 and "Invalid --segment-blocks" in err
+    code, _, err = run_cli(["encode", "--segment-blocks", "x"])
+    assert code == 1 and "Invalid --segment-blocks" in err
+
+
+def test_cli_decode_unknown_flag_is_filename():
+    """A non-option-looking-but-unknown '--flag' falls out of the option
+    loop and is treated as a (missing) input file, like the reference's
+    positional handling."""
+    code, _, err = run_cli(["decode", "--bogus"])
+    assert code == 1 and "Error" in err

@@ -265,3 +265,18 @@ def test_corpus_explicit_paths_and_truncated(tmp_path, corpus):
     res = encode_corpus([ok, wav], tmp_path / "xa", bits=6, search=False)
     assert res.converted == 1
     assert "truncated PCM payload" in res.failed[str(wav)]
+
+
+def test_encode_corpus_explicit_paths(tmp_path):
+    """encode_corpus accepts an explicit iterable of paths (not just a
+    directory), mirroring decode_corpus."""
+    rng = np.random.default_rng(41)
+    pcm = rng.integers(-20000, 20000, size=(100, 1)).astype(np.int16)
+    p = tmp_path / "one.wav"
+    _write_wav(p, pcm)
+    out = tmp_path / "out"
+    from bjxa_tpu.parallel.corpus import encode_corpus
+
+    res = encode_corpus([p], out, bits=6, search=False)
+    assert res.converted == 1
+    assert (out / "one.xa").exists()

@@ -199,3 +199,52 @@ def test_fixpoint_lanes_core_xla_equals_fused_interpret():
     )
     np.testing.assert_array_equal(np.asarray(pcm32), np.asarray(pcm_ref))
     np.testing.assert_array_equal(np.asarray(end32), np.asarray(end_ref))
+
+
+def test_fixpoint_and_packed_tiny():
+    """Tiny direct drives of decode_arrays_fixpoint and the packed
+    single-buffer batch path (on the real chip these trace the fused
+    kernel branches; on CPU the scan fallbacks) against decode_arrays."""
+    import numpy as np
+
+    from bjxa_tpu.ops.decode import (
+        decode_arrays,
+        decode_arrays_fixpoint,
+        decode_batch_packed,
+        packed_layout,
+    )
+
+    rng = np.random.default_rng(17)
+    bits, C, B = 6, 2, 12
+    S = 4 * bits + 1
+    blocks = rng.integers(0, 256, size=(C, B, S), dtype=np.uint8)
+    blocks[:, :, 0] = (
+        rng.integers(0, 5, size=(C, B)) << 4
+        | rng.integers(0, 4, size=(C, B))
+    ).astype(np.uint8)
+    state = rng.integers(-100, 100, size=(C, 2)).astype(np.int32)
+    ref, ref_end, _ = decode_arrays(blocks, state, bits=bits)
+
+    pcm, end, valid, iters = decode_arrays_fixpoint(
+        blocks, state, bits=bits, num_chunks=3
+    )
+    np.testing.assert_array_equal(np.asarray(pcm), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(end), np.asarray(ref_end))
+
+    # packed single-buffer path (lanes = channels of this one file)
+    L = C
+    W = bits
+    nw, npr, nst = packed_layout(B, L, bits)
+    buf = np.zeros(nw + npr + nst, np.dtype("<i4"))
+    words8 = buf[:nw].view(np.uint8).reshape(B, W, L, 4)
+    prof = buf[nw : nw + npr].view(np.uint8)[: B * L].reshape(B, L)
+    st = buf[nw + npr :].reshape(L, 2)
+    raw = blocks.transpose(1, 0, 2)  # [B, C, S]
+    prof[:] = raw[:, :, 0]
+    words8[:] = raw[:, :, 1:].reshape(B, C, W, 4).transpose(0, 2, 1, 3)
+    st[:] = state
+    flat = np.asarray(
+        decode_batch_packed(buf, bits=bits, blocks=B, lanes=L)
+    )
+    got = flat.reshape(B, 32, L).reshape(B * 32, L)
+    np.testing.assert_array_equal(got, np.asarray(ref))

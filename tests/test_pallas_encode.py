@@ -78,3 +78,26 @@ def test_specialized_kernel_matches_on_device():
     )
     for a, b, name in zip(base, spec, ("prof", "coded", "recon", "end")):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), name)
+
+
+def test_wrapper_padded_blocks_end_state_on_device():
+    """The padding wrapper with a block count off the tile grid must
+    recover the end state from the last REAL block (the padded zero
+    blocks run the search too, but their state is discarded).  Compiled
+    backends only, like the specialized-kernel test above."""
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("wrapper tracing is pathological in interpret mode")
+    from bjxa_tpu.ops.pallas_encode import encode_search_pallas
+
+    rng = np.random.default_rng(12)
+    B, L = 5, 24  # pads blocks 5 -> 8 (block_tile 4) and lanes 24 -> 1024
+    pcm = rng.integers(-32768, 32768, size=(B, 32, L)).astype(np.int32)
+    state = rng.integers(-3000, 3000, size=(L, 2)).astype(np.int32)
+    got = encode_search_pallas(
+        jnp.asarray(pcm), jnp.asarray(state), bits=6
+    )
+    ref = encode_search_scan(jnp.asarray(pcm), jnp.asarray(state), bits=6)
+    for a, b, name in zip(got, ref, ("prof", "coded", "recon", "end")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), name)

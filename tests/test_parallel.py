@@ -204,3 +204,59 @@ def test_encode_corpus_flat_sharded(devices):
     )
     assert np.asarray(flat).ndim == 1
     np.testing.assert_array_equal(reassemble(np.asarray(flat)), ref)
+
+
+def test_corpus_lanes_sharded(devices):
+    """The uint8 lane-major sharded decode (3-D results) still matches
+    the unsharded lane pipeline — kept for callers that want device-side
+    end states alongside the PCM."""
+    from bjxa_tpu.ops.decode import decode_batch_lanes
+    from bjxa_tpu.parallel.sharded import decode_corpus_sharded_lanes
+
+    mesh = make_mesh(devices, dp=8, sp=1)
+    rng = np.random.default_rng(21)
+    bits, C, B, N = 4, 2, 16, 7  # 14 lanes -> pads to 16
+    blocks = np.stack([random_blocks(rng, C, B, bits) for _ in range(N)])
+    blocks_t = np.ascontiguousarray(
+        blocks.transpose(2, 3, 0, 1).reshape(B, -1, N * C)
+    )
+    states = rng.integers(-50, 50, size=(N * C, 2)).astype(np.int32)
+    pcm, end, valid = decode_corpus_sharded_lanes(
+        blocks_t, states, bits=bits, mesh=mesh
+    )
+    ref_pcm, ref_end, ref_valid = decode_batch_lanes(
+        blocks_t, states, bits=bits
+    )
+    np.testing.assert_array_equal(np.asarray(pcm), np.asarray(ref_pcm))
+    np.testing.assert_array_equal(np.asarray(end), np.asarray(ref_end))
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(ref_valid))
+
+
+def test_corpus_words_one_device_mesh():
+    """A 1-device mesh runs the words shard path on any backend (on the
+    real chip this traces the fused kernel under shard_map — the exact
+    configuration the CLI auto-mesh produces on a single-chip host)."""
+    import jax
+
+    from bjxa_tpu.ops.decode import (
+        decode_batch_lanes,
+        words_from_blocks_host,
+    )
+    from bjxa_tpu.parallel.sharded import decode_corpus_sharded_words
+
+    mesh = make_mesh(jax.devices()[:1], dp=1, sp=1)
+    rng = np.random.default_rng(31)
+    bits, C, B, N = 6, 2, 8, 3
+    blocks = np.stack([random_blocks(rng, C, B, bits) for _ in range(N)])
+    blocks_t = np.ascontiguousarray(
+        blocks.transpose(2, 3, 0, 1).reshape(B, -1, N * C)
+    )
+    states = np.zeros((N * C, 2), np.int32)
+    prof, words = words_from_blocks_host(blocks_t, bits)
+    pcm_flat, reassemble = decode_corpus_sharded_words(
+        prof, words, states, bits=bits, mesh=mesh
+    )
+    got = reassemble(np.asarray(pcm_flat))
+    ref_raw, _, _ = decode_batch_lanes(blocks_t, states, bits=bits)
+    ref = np.asarray(ref_raw).reshape(B, 32, -1)[:, :, : N * C]
+    np.testing.assert_array_equal(got, ref)

@@ -314,3 +314,27 @@ def test_segmented_decode_on_sp_mesh(stream):
     np.testing.assert_array_equal(
         np.concatenate(out), ref[: bad_block * 32]
     )
+
+
+def test_cli_segmented_decode_error_paths(stream):
+    """Segmented CLI decode reports truncation and bad profiles with the
+    reference's labels and byte-matches the non-segmented error paths."""
+    from tests.test_cli import run_cli
+
+    fmt, payload, _ = stream
+    xa = dump_xa_header(fmt) + payload
+
+    cut = xa[: 32 + 96 * fmt.block_size_xa + 3]
+    code, seg, err = run_cli(["decode", "--segment-blocks", "96"], stdin=cut)
+    assert code == 1 and "End of file" in err
+    code, one, _ = run_cli(["decode", "--devices", "1"], stdin=cut)
+    assert code == 1 and seg == one
+
+    bad = bytearray(xa)
+    bad[32 + (96 + 5) * fmt.block_size_xa] = 0xF0
+    code, seg, err = run_cli(
+        ["decode", "--segment-blocks", "96"], stdin=bytes(bad)
+    )
+    assert code == 1 and "Protocol error" in err
+    code, one, _ = run_cli(["decode", "--devices", "1"], stdin=bytes(bad))
+    assert code == 1 and seg == one

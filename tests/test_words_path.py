@@ -152,3 +152,29 @@ def test_fused_words_states_only_device():
     )
     assert _none is None
     np.testing.assert_array_equal(np.asarray(end), np.asarray(full_end))
+
+
+def test_fused_words_pack_out_stores():
+    """The paired-int32 store variant (the bench_pack_store ablation:
+    two int16 samples per stored word) stays bit-exact — unpacking its
+    words reproduces the int16-store kernel's PCM."""
+    B, L, sub, lt, bt = 8, 256, 16, 256, 4
+    blocks_t, state = _mk_lanes(6, B=B, L=L, seed=6)
+    prof, words = pack_words_from_lanes(jnp.asarray(blocks_t), bits=6)
+    ref_pcm, ref_end = fused_decode_words(
+        prof, words, jnp.asarray(state), bits=6,
+        lane_tile=lt, block_tile=bt, sublanes=sub, interpret=True,
+    )
+    packed, end = fused_decode_words(
+        prof, words, jnp.asarray(state), bits=6,
+        lane_tile=lt, block_tile=bt, sublanes=sub, interpret=True,
+        pack_out=True,
+    )
+    w = np.asarray(packed).astype(np.int64)
+    even = (((w & 0xFFFF) ^ 0x8000) - 0x8000).astype(np.int16)
+    odd = (w >> 16).astype(np.int16)
+    got = np.stack([even, odd], axis=2).reshape(B, BLOCK_SAMPLES, L)
+    np.testing.assert_array_equal(
+        got, np.asarray(ref_pcm).reshape(B, BLOCK_SAMPLES, L)
+    )
+    np.testing.assert_array_equal(np.asarray(end), np.asarray(ref_end))
