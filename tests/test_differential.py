@@ -329,3 +329,51 @@ def test_fixture_encode_matches_reference(ref_bjxa, fixture_dir, bits):
         assert wav_to_xa(wav, bits, search=False) == ref_encode(
             ref_bjxa, wav, bits
         )
+
+
+def _cli_decode_segmented(xa: bytes, segment_blocks: int):
+    """The segmented CLI decode path on byte buffers (same triple as
+    :func:`_cli_decode`)."""
+    import contextlib
+    import io
+
+    from bjxa_tpu import cli
+
+    fin = io.BytesIO(xa)
+    fout = io.BytesIO()
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        code = cli._decode_stream(
+            fin, fout, streaming=False, segment_blocks=segment_blocks
+        )
+    return code, fout.getvalue(), err.getvalue()
+
+
+def test_segmented_decode_differential_sweep(ref_bjxa):
+    """The segmented bounded-memory CLI path against the compiled C
+    reference: happy, mid-stream-corrupt, and truncated streams must
+    agree on exit code and output bytes with the reference's streaming
+    block loop (which the segments emulate at device rate)."""
+    rng = np.random.default_rng(99)
+    for trial in range(12):
+        bits = int(rng.choice([4, 6, 8]))
+        channels = int(rng.choice([1, 2]))
+        nblocks = int(rng.choice([8, 96, 97, 200]))
+        header, data_len, _bs = _mk_header(rng, bits, channels, nblocks)
+        block_size = (bits * 4 + 1) * channels
+        payload = _mk_valid_payload(
+            rng, data_len, bits * 4 + 1, nblocks * channels
+        )
+        data = header + payload.tobytes()
+        kind = trial % 3
+        if kind == 1:  # corrupt a mid-stream profile byte
+            b = bytearray(data)
+            b[32 + (nblocks // 2) * block_size] = 0xFF
+            data = bytes(b)
+        elif kind == 2:  # truncate mid-block
+            data = data[: 32 + (nblocks // 2) * block_size + 3]
+        seg = int(rng.choice([5, 32, 96]))
+        code, out, _err = _cli_decode_segmented(data, seg)
+        ref_code, ref_out, _ref_err = _ref_decode_full(ref_bjxa, data)
+        assert (code == 0) == (ref_code == 0), (trial, code, ref_code)
+        assert out == ref_out, (trial, bits, channels, nblocks, seg)
