@@ -211,14 +211,6 @@ def _cmd_decode(args: list[str], prog: str) -> int:
             fout.close()
 
 
-# Whole-file decodes whose payload + PCM exceed this byte budget switch to
-# the segmented bounded-memory device pipeline (override with
-# BJXA_SEGMENT_THRESHOLD; the reference streams with O(block) memory and
-# the format allows u32 data_len, bjxa.5.rst:77-79).
-_SEGMENT_THRESHOLD = 256 << 20
-_SEGMENT_BLOCKS = 65536
-
-
 def _decode_stream(
     fin, fout, streaming: bool, devices=None, segment_blocks=None
 ) -> int:
@@ -259,12 +251,14 @@ def _decode_stream(
             left -= 1
         return 0
 
-    threshold = int(
-        os.environ.get("BJXA_SEGMENT_THRESHOLD", _SEGMENT_THRESHOLD)
-    )
-    if segment_blocks or fmt.data_len + fmt.data_len_pcm > threshold:
+    from bjxa_tpu.ops.decode import SEGMENT_BLOCKS, segment_threshold
+
+    if (
+        segment_blocks
+        or fmt.data_len + fmt.data_len_pcm > segment_threshold()
+    ):
         return _decode_segmented(
-            fin, fout, fmt, segment_blocks or _SEGMENT_BLOCKS,
+            fin, fout, fmt, segment_blocks or SEGMENT_BLOCKS,
             mesh=sp_mesh,
         )
 
@@ -437,12 +431,11 @@ def _encode_stream(
         _perror("bjxa_fread_riff_header", e)
         return 1
 
-    threshold = int(
-        os.environ.get("BJXA_SEGMENT_THRESHOLD", _SEGMENT_THRESHOLD)
-    )
-    if segment_blocks or rf.data_len_pcm > threshold:
+    from bjxa_tpu.ops.decode import SEGMENT_BLOCKS, segment_threshold
+
+    if segment_blocks or rf.data_len_pcm > segment_threshold():
         return _encode_segmented(
-            fin, fout, rf, bits, search, segment_blocks or _SEGMENT_BLOCKS
+            fin, fout, rf, bits, search, segment_blocks or SEGMENT_BLOCKS
         )
 
     body = fin.read(rf.data_len_pcm)

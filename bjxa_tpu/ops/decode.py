@@ -737,6 +737,21 @@ def decode_bytes_validity(
     return frames, valid[:B]
 
 
+#: Byte budget (payload + PCM) above which whole-file decode/encode
+#: switches to the segmented bounded-memory pipelines; override with
+#: ``BJXA_SEGMENT_THRESHOLD``.  The format allows u32 sizes
+#: (``bjxa.5.rst:77-79``); the reference streams with O(block) memory.
+SEGMENT_THRESHOLD = 256 << 20
+SEGMENT_BLOCKS = 65536
+
+
+def segment_threshold() -> int:
+    """The active segmentation byte threshold (env-overridable)."""
+    import os
+
+    return int(os.environ.get("BJXA_SEGMENT_THRESHOLD", SEGMENT_THRESHOLD))
+
+
 def iter_decode_segments(
     read,
     fmt: XAFormat,

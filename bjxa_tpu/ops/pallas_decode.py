@@ -54,7 +54,18 @@ def pick_tiles(L: int, B: int):
         return 32, 8192, min(B, 4)
     if L >= 4096:
         return 32, 4096, min(B, 8)
-    return 16, 2048, min(B, 8)
+    if L >= 2048 or B < 8192:
+        return 16, 2048, min(B, 8)
+    # Few lanes but a LONG block range (e.g. one mono 20k-block file fed
+    # straight to the batch kernel): padding the lane dim to a full 2048
+    # tile would multiply the padded program's memory by lane_tile/L —
+    # measured to blow HBM at compile for a 1-lane 20736-block file.
+    # Shrink the tile toward the lane count instead; the vreg fill drops
+    # but tiny-lane shapes are bound by everything except the VPU.
+    lt = 256
+    while lt < L:
+        lt *= 2
+    return 16, lt, min(B, 8)
 
 
 def _sel_gain(factor, table):

@@ -213,31 +213,82 @@ def decode_corpus(
     converted = 0
 
     # ---- parse headers, group into (bits, channels, bucket) batches -----
+    # Only headers are read here: payloads are (re)read at staging time,
+    # so host memory is O(batch), not O(corpus).  Files whose payload +
+    # PCM exceed the segmentation threshold never enter the batcher at
+    # all — they stream through the bounded-memory segmented decoder.
+    from bjxa_tpu.ops.decode import segment_threshold
+
+    threshold = segment_threshold()
     groups: dict[tuple, list] = {}
+    huge: list = []
     for path in paths:
         if manifest.is_done(str(path)):
             skipped += 1
             continue
         try:
-            data = path.read_bytes()
-            fmt = parse_xa_header(data)
-            payload = data[XA_HEADER_SIZE : XA_HEADER_SIZE + fmt.data_len]
-            if len(payload) < fmt.data_len:
+            with open(path, "rb") as f:
+                fmt = parse_xa_header(f.read(XA_HEADER_SIZE))
+            if path.stat().st_size < XA_HEADER_SIZE + fmt.data_len:
                 raise BjxaError("truncated payload")
         except (BjxaError, OSError) as e:
             failed[str(path)] = str(e)
             continue
+        if fmt.data_len + fmt.data_len_pcm > threshold:
+            huge.append((path, fmt))
+            continue
         key = (fmt.bits, fmt.channels, _bucket(fmt.blocks, bucket_granularity))
-        groups.setdefault(key, []).append((path, fmt, payload))
+        groups.setdefault(key, []).append((path, fmt))
+
+    # ---- oversized files: segmented bounded-memory decode ---------------
+    for path, fmt in huge:
+        out_path = out_dir / (path.stem + ".wav")
+        tmp = out_path.with_suffix(".wav.tmp")
+        try:
+            from bjxa_tpu.ops.decode import iter_decode_segments
+
+            with open(path, "rb") as fin, open(tmp, "wb") as fout:
+                fin.seek(XA_HEADER_SIZE)
+                fout.write(
+                    dump_riff_header(
+                        fmt.data_len_pcm, fmt.samples_rate, fmt.channels
+                    )
+                )
+                for pcm in iter_decode_segments(fin.read, fmt):
+                    fout.write(dump_pcm(pcm))
+            tmp.replace(out_path)
+        except (BjxaError, EOFError, OSError) as e:
+            failed[str(path)] = str(e)
+            tmp.unlink(missing_ok=True)
+            continue
+        manifest.record(str(path), out=str(out_path), samples=fmt.samples)
+        converted += 1
+        counters.files += 1
+        counters.blocks += fmt.blocks
+        counters.samples += fmt.samples * fmt.channels
+        counters.bytes_in += fmt.data_len
+        counters.bytes_out += fmt.data_len_pcm + 44
 
     # ---- decode each group in device batches ----------------------------
     # Depth-k software pipeline: upcoming batches are staged and
     # dispatched (JAX dispatch is asynchronous) before earlier results
     # are materialized and written, so host staging, device compute, and
     # device->host PCM transfer of several batches overlap.
+    def _read_payload(path, fmt):
+        with open(path, "rb") as f:
+            f.seek(XA_HEADER_SIZE)
+            payload = f.read(fmt.data_len)
+        if len(payload) < fmt.data_len:
+            raise BjxaError("truncated payload")
+        return payload
+
     def submit(bits, channels, bucket, chunk, n_alloc):
         size = bits * 4 + 1
         L = n_alloc * channels
+        # A file that shrank or vanished since the header parse degrades
+        # per file: its lanes stay zero (valid profile-0 dummies) and the
+        # writer skips it.
+        dead = set()
         # The geometric bucket is only the GROUPING key; each chunk stages
         # and decodes at the finer linear granularity of its own largest
         # file.  On a link-bound engine the bucket's up-to-1/8 pad would
@@ -245,7 +296,7 @@ def decode_corpus(
         # of blocks at the cost of at most a few extra compiles per group
         # (chunk maxima are granularity-aligned, so the distinct-shape
         # count stays small and the persistent compile cache absorbs it).
-        bmax = max(f.blocks for _, f, _ in chunk)
+        bmax = max(f.blocks for _, f in chunk)
         Bs = min(bucket, -(-bmax // bucket_granularity) * bucket_granularity)
         if mesh is not None:
             # Sharded path: same packed-words staging as the single-device
@@ -255,7 +306,13 @@ def decode_corpus(
             states = np.zeros((L, 2), np.int32)
             prof = np.zeros((Bs, L), np.uint8)
             words8 = np.zeros((Bs, W, L, 4), np.uint8)
-            for i, (path, fmt, payload) in enumerate(chunk):
+            for i, (path, fmt) in enumerate(chunk):
+                try:
+                    payload = _read_payload(path, fmt)
+                except (BjxaError, OSError) as e:
+                    failed[str(path)] = str(e)
+                    dead.add(i)
+                    continue
                 raw = np.frombuffer(
                     payload, np.uint8, count=fmt.blocks * fmt.block_size_xa
                 ).reshape(fmt.blocks, channels, size)
@@ -279,7 +336,7 @@ def decode_corpus(
                 prof, words, states, bits=bits, mesh=mesh
             )
             _start_readback(pcm)
-            return channels, Bs, chunk, (pcm, reassemble), valid
+            return channels, Bs, chunk, dead, (pcm, reassemble), valid
 
         # Single-device fast path: stage the whole batch into ONE packed
         # int32 buffer (payload words + profile bytes + predictor states,
@@ -295,7 +352,13 @@ def decode_corpus(
         words8 = buf[:nw].view(np.uint8).reshape(Bs, W, L, 4)
         prof = buf[nw : nw + npr].view(np.uint8)[: Bs * L].reshape(Bs, L)
         states = buf[nw + npr :].reshape(L, 2)
-        for i, (path, fmt, payload) in enumerate(chunk):
+        for i, (path, fmt) in enumerate(chunk):
+            try:
+                payload = _read_payload(path, fmt)
+            except (BjxaError, OSError) as e:
+                failed[str(path)] = str(e)
+                dead.add(i)
+                continue
             raw = np.frombuffer(
                 payload, np.uint8, count=fmt.blocks * fmt.block_size_xa
             ).reshape(fmt.blocks, channels, size)
@@ -310,11 +373,13 @@ def decode_corpus(
         valid = (prof >> 4) < 5
         pcm = decode_batch_packed(buf, bits=bits, blocks=Bs, lanes=L)
         _start_readback(pcm)
-        return channels, Bs, chunk, pcm, valid
+        return channels, Bs, chunk, dead, pcm, valid
 
-    def write_batch(channels, nblocks, chunk, pcm, valid):
+    def write_batch(channels, nblocks, chunk, dead, pcm, valid):
         nonlocal converted
-        for i, (path, fmt, payload) in enumerate(chunk):
+        for i, (path, fmt) in enumerate(chunk):
+            if i in dead:
+                continue
             lanes = slice(i * channels, (i + 1) * channels)
             if not valid[: fmt.blocks, lanes].all():
                 failed[str(path)] = "invalid block profile factor"
@@ -345,7 +410,7 @@ def decode_corpus(
             counters.bytes_out += len(wav)
 
     def flush(pending):
-        channels, nblocks, chunk, pcm, valid = pending
+        channels, nblocks, chunk, dead, pcm, valid = pending
         # Both paths return flat 1-D PCM (full-rate transfer); the packed
         # path's reshape is a free numpy view, the mesh path's shard-major
         # reassembly is one host-memory copy (negligible vs the link).
@@ -358,7 +423,7 @@ def decode_corpus(
             pcm = pcm.reshape(nblocks, BLOCK_SAMPLES, -1)[:, :, :lanes_total]
         # WAV serialization + disk writes run on the writer thread so the
         # next batch's transfer is not stalled behind file I/O.
-        writer.put(write_batch, channels, nblocks, chunk, pcm, valid)
+        writer.put(write_batch, channels, nblocks, chunk, dead, pcm, valid)
 
     with _SerialWriter(depth=depth) as writer:
         _run_pipelined(groups, batch_files, submit, flush, depth=depth)
@@ -428,24 +493,77 @@ def encode_corpus(
     skipped = 0
     converted = 0
 
+    # Only headers are read here (payloads re-read at staging time:
+    # O(batch) host memory); oversized WAVs stream through the segmented
+    # bounded-memory encoder instead of the batcher.
+    from bjxa_tpu.ops.decode import segment_threshold
+
+    threshold = segment_threshold()
     groups: dict[tuple, list] = {}
+    huge: list = []
     for path in paths:
         if manifest.is_done(str(path)):
             skipped += 1
             continue
         try:
-            data = path.read_bytes()
-            rf = parse_riff_header(data)
-            body = memoryview(data)[RIFF_HEADER_SIZE:]
-            if len(body) < rf.data_len_pcm:
+            with open(path, "rb") as f:
+                rf = parse_riff_header(f.read(RIFF_HEADER_SIZE))
+            if path.stat().st_size < RIFF_HEADER_SIZE + rf.data_len_pcm:
                 raise BjxaError("truncated PCM payload")
-            pcm = load_pcm(body[: rf.data_len_pcm], rf.channels)
         except (BjxaError, OSError) as e:
             failed[str(path)] = str(e)
             continue
-        nblocks = -(-pcm.shape[0] // BLOCK_SAMPLES)
+        if rf.data_len_pcm > threshold:
+            huge.append((path, rf))
+            continue
+        nblocks = -(-rf.samples // BLOCK_SAMPLES)
         key = (rf.channels, _bucket(nblocks, bucket_granularity))
-        groups.setdefault(key, []).append((path, rf, pcm))
+        groups.setdefault(key, []).append((path, rf))
+
+    # ---- oversized WAVs: segmented bounded-memory encode ----------------
+    from bjxa_tpu.ops.encode import iter_encode_segments
+
+    for path, rf in huge:
+        out_path = out_dir / (path.stem + ".xa")
+        tmp = out_path.with_suffix(".xa.tmp")
+        try:
+            nblocks = -(-rf.samples // BLOCK_SAMPLES)
+            fmt = XAFormat(
+                data_len=nblocks * (bits * 4 + 1) * rf.channels,
+                samples=rf.samples,
+                samples_rate=rf.samples_rate,
+                bits=bits,
+                channels=rf.channels,
+                initial_state=((0, 0), (0, 0)),
+            ).validate()
+            with open(path, "rb") as fin, open(tmp, "wb") as fout:
+                fin.seek(RIFF_HEADER_SIZE)
+                fout.write(dump_xa_header(fmt))
+                for blocks_bytes in iter_encode_segments(
+                    fin.read, rf.channels, rf.samples,
+                    bits=bits, search=search,
+                ):
+                    fout.write(blocks_bytes)
+            tmp.replace(out_path)
+        except (BjxaError, EOFError, OSError) as e:
+            failed[str(path)] = str(e)
+            tmp.unlink(missing_ok=True)
+            continue
+        manifest.record(str(path), out=str(out_path), samples=rf.samples)
+        converted += 1
+        counters.files += 1
+        counters.blocks += fmt.blocks
+        counters.samples += rf.samples * rf.channels
+        counters.bytes_in += rf.data_len_pcm
+        counters.bytes_out += fmt.data_len + 32
+
+    def _read_pcm(path, rf):
+        with open(path, "rb") as f:
+            f.seek(RIFF_HEADER_SIZE)
+            body = f.read(rf.data_len_pcm)
+        if len(body) < rf.data_len_pcm:
+            raise BjxaError("truncated PCM payload")
+        return load_pcm(body, rf.channels)
 
     def submit(channels, bucket, chunk, n_alloc):
         # Fixed lane count per group (see decode_corpus.submit): the
@@ -454,13 +572,20 @@ def encode_corpus(
         # linear granularity of its own largest file (less pad over the
         # link both ways).
         L = n_alloc * channels
+        dead = set()
         bmax = max(
-            -(-pcm.shape[0] // BLOCK_SAMPLES) for _, _, pcm in chunk
+            -(-rf.samples // BLOCK_SAMPLES) for _, rf in chunk
         )
         Bs = min(bucket, -(-bmax // bucket_granularity) * bucket_granularity)
         lanes = np.zeros((Bs, BLOCK_SAMPLES, L), np.int16)
         frames = lanes.reshape(Bs * BLOCK_SAMPLES, L)
-        for i, (path, rf, pcm) in enumerate(chunk):
+        for i, (path, rf) in enumerate(chunk):
+            try:
+                pcm = _read_pcm(path, rf)
+            except (BjxaError, OSError) as e:
+                failed[str(path)] = str(e)
+                dead.add(i)
+                continue
             ln = slice(i * channels, (i + 1) * channels)
             frames[: pcm.shape[0], ln] = pcm
         if mesh is not None:
@@ -473,7 +598,7 @@ def encode_corpus(
                 lanes, states0, bits=bits, search=search, mesh=mesh
             )
             _start_readback(blocks)
-            return channels, L, chunk, (blocks, reassemble)
+            return channels, L, chunk, dead, (blocks, reassemble)
         # Single dispatch, single upload, single readback (the zero
         # initial state is synthesized on device; flat output transfers
         # at full link rate).
@@ -481,19 +606,21 @@ def encode_corpus(
             jnp.asarray(lanes), bits=bits, search=search
         )  # flat uint8, host layout [Bs, L, S]
         _start_readback(blocks)
-        return channels, L, chunk, blocks
+        return channels, L, chunk, dead, blocks
 
-    def write_batch(channels, chunk, blocks):
+    def write_batch(channels, chunk, dead, blocks):
         nonlocal converted
-        for i, (path, rf, pcm) in enumerate(chunk):
+        for i, (path, rf) in enumerate(chunk):
+            if i in dead:
+                continue
             ln = slice(i * channels, (i + 1) * channels)
-            nblocks = -(-pcm.shape[0] // BLOCK_SAMPLES)
+            nblocks = -(-rf.samples // BLOCK_SAMPLES)
             payload = np.ascontiguousarray(
                 blocks[:nblocks, ln]
             ).tobytes()
             fmt = XAFormat(
                 data_len=len(payload),
-                samples=pcm.shape[0],
+                samples=rf.samples,
                 samples_rate=rf.samples_rate,
                 bits=bits,
                 channels=channels,
@@ -509,17 +636,17 @@ def encode_corpus(
                 failed[str(path)] = str(e)
                 continue
             manifest.record(
-                str(path), out=str(out_path), samples=pcm.shape[0]
+                str(path), out=str(out_path), samples=rf.samples
             )
             converted += 1
             counters.files += 1
             counters.blocks += nblocks
-            counters.samples += pcm.shape[0] * channels
+            counters.samples += rf.samples * channels
             counters.bytes_in += rf.data_len_pcm
             counters.bytes_out += len(xa)
 
     def flush(pending):
-        channels, L, chunk, blocks = pending
+        channels, L, chunk, dead, blocks = pending
         # Both paths return flat bytes; the packed path's reshape is a
         # free view, the mesh path's shard-major reassembly one host copy.
         if isinstance(blocks, tuple):
@@ -527,7 +654,7 @@ def encode_corpus(
             blocks = reassemble(np.asarray(blocks))
         else:
             blocks = np.asarray(blocks).reshape(-1, L, bits * 4 + 1)
-        writer.put(write_batch, channels, chunk, blocks)
+        writer.put(write_batch, channels, chunk, dead, blocks)
 
     with _SerialWriter(depth=depth) as writer:
         _run_pipelined(groups, batch_files, submit, flush, depth=depth)

@@ -280,3 +280,77 @@ def test_encode_corpus_explicit_paths(tmp_path):
     res = encode_corpus([p], out, bits=6, search=False)
     assert res.converted == 1
     assert (out / "one.xa").exists()
+
+
+def test_corpus_huge_file_routes_segmented(tmp_path, corpus, monkeypatch):
+    """A file whose payload + PCM exceed the segmentation threshold skips
+    the batcher and streams through the bounded-memory segmented decoder
+    — same output bytes, manifest-recorded, resumable."""
+    monkeypatch.setenv("BJXA_SEGMENT_THRESHOLD", "1")  # everything "huge"
+    src, expect = corpus
+    out = tmp_path / "out"
+    res = decode_corpus(src, out, bucket_granularity=16)
+    assert res.converted == len(expect), res.failed
+    for stem, wav in expect.items():
+        assert (out / f"{stem}.wav").read_bytes() == wav
+    # rerun: manifest short-circuits everything
+    res2 = decode_corpus(src, out, bucket_granularity=16)
+    assert res2.converted == 0 and res2.skipped == len(expect)
+
+
+def test_encode_corpus_huge_wav_routes_segmented(tmp_path, monkeypatch):
+    """The encode mirror: an oversized WAV streams through the segmented
+    encoder, byte-identical to the one-shot per-file encode."""
+    from bjxa_tpu.api import encode_pcm
+    from bjxa_tpu.parallel.corpus import encode_corpus
+
+    monkeypatch.setenv("BJXA_SEGMENT_THRESHOLD", "1")
+    rng = np.random.default_rng(55)
+    src = tmp_path / "wav"
+    out = tmp_path / "xa"
+    src.mkdir()
+    cases = {}
+    for i, (ch, samples) in enumerate([(1, 333), (2, 129)]):
+        pcm = rng.integers(-30000, 30000, size=(samples, ch)).astype(
+            np.int16
+        )
+        _write_wav(src / f"h{i}.wav", pcm)
+        cases[f"h{i}"] = encode_pcm(pcm, 44100, 6, search=False)
+    res = encode_corpus(src, out, bits=6, search=False)
+    assert res.converted == len(cases), res.failed
+    for stem, xa in cases.items():
+        assert (out / f"{stem}.xa").read_bytes() == xa
+
+
+def test_corpus_file_vanishes_between_parse_and_staging(
+    tmp_path, corpus, monkeypatch
+):
+    """Payloads are read lazily at staging time (O(batch), not O(corpus),
+    host memory); a file that becomes unreadable between the header parse
+    and staging degrades per file while the rest of the batch converts."""
+    import builtins
+    import shutil as _shutil
+
+    src, expect = corpus
+    work = tmp_path / "src"
+    _shutil.copytree(src, work)
+    out = tmp_path / "out"
+    target = str(work / "file2.xa")
+    opens = {"n": 0}
+    real_open = builtins.open
+
+    def fake_open(file, *a, **k):
+        if str(file) == target:
+            opens["n"] += 1
+            if opens["n"] > 1:  # header parse succeeded; staging fails
+                raise OSError("vanished")
+        return real_open(file, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", fake_open)
+    res = decode_corpus(work, out, bucket_granularity=16)
+    assert any("file2" in p for p in res.failed), res.failed
+    assert res.converted == len(expect) - 1
+    for stem, wav in expect.items():
+        if stem == "file2":
+            continue
+        assert (out / f"{stem}.wav").read_bytes() == wav

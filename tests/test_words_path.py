@@ -178,3 +178,22 @@ def test_fused_words_pack_out_stores():
         got, np.asarray(ref_pcm).reshape(B, BLOCK_SAMPLES, L)
     )
     np.testing.assert_array_equal(np.asarray(end), np.asarray(ref_end))
+
+
+def test_pick_tiles_bounds_padded_memory():
+    """Few lanes + a long block range must not pad to a full 2048-lane
+    tile: a 1-lane 20736-block file previously compiled a ~2000x-padded
+    program that exceeded HBM (fixed round 4).  The padded element count
+    stays within a small multiple of the real one for every regime."""
+    from bjxa_tpu.ops.pallas_decode import pick_tiles
+
+    for L, B in [(1, 20736), (2, 20736), (32, 20672), (200, 10000)]:
+        sub, lt, bt = pick_tiles(L, B)
+        assert lt % sub == 0
+        padded = -(-L // lt) * lt
+        assert padded <= max(256, 2 * L), (L, B, lt)
+    # the throughput regimes keep their measured-optimal tiles
+    assert pick_tiles(8192, 256) == (32, 8192, 4)
+    assert pick_tiles(4096, 256) == (32, 4096, 8)
+    assert pick_tiles(2048, 64) == (16, 2048, 8)
+    assert pick_tiles(32, 64) == (16, 2048, 8)  # small batches: one tile
