@@ -354,3 +354,197 @@ def test_corpus_file_vanishes_between_parse_and_staging(
         if stem == "file2":
             continue
         assert (out / f"{stem}.wav").read_bytes() == wav
+
+
+class _ShrinkingOpen:
+    """builtins.open wrapper: the Nth+ open of ``target`` yields a file
+    whose reads return ``keep`` bytes fewer than asked (a file that
+    shrank after its header was parsed)."""
+
+    def __init__(self, real_open, target, after=1, drop=10):
+        self.real_open = real_open
+        self.target = str(target)
+        self.after = after
+        self.drop = drop
+        self.n = 0
+
+    def __call__(self, file, *a, **k):
+        f = self.real_open(file, *a, **k)
+        if str(file) == self.target:
+            self.n += 1
+            if self.n > self.after:
+                drop = self.drop
+                real_read = f.read
+
+                def short_read(nbytes=-1):
+                    data = real_read(nbytes)
+                    return data[: max(len(data) - drop, 0)]
+
+                f.read = short_read
+        return f
+
+
+def test_corpus_file_shrinks_between_parse_and_staging(
+    tmp_path, corpus, monkeypatch
+):
+    """A file that SHRINKS (short read, not open failure) after the
+    header parse is reported as truncated; the batch still converts."""
+    import builtins
+    import shutil as _shutil
+
+    src, expect = corpus
+    work = tmp_path / "src"
+    _shutil.copytree(src, work)
+    out = tmp_path / "out"
+    fake = _ShrinkingOpen(builtins.open, work / "file3.xa")
+    monkeypatch.setattr(builtins, "open", fake)
+    res = decode_corpus(work, out, bucket_granularity=16)
+    assert any("file3" in p for p in res.failed), res.failed
+    assert "truncated" in next(
+        v for p, v in res.failed.items() if "file3" in p
+    )
+    assert res.converted == len(expect) - 1
+
+
+def test_corpus_mesh_file_vanishes(tmp_path, corpus, monkeypatch):
+    """The mesh staging branch degrades per file too."""
+    import builtins
+    import shutil as _shutil
+
+    import jax
+
+    from bjxa_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    src, expect = corpus
+    work = tmp_path / "src"
+    _shutil.copytree(src, work)
+    out = tmp_path / "out"
+    target = str(work / "file2.xa")
+    opens = {"n": 0}
+    real_open = builtins.open
+
+    def fake_open(file, *a, **k):
+        if str(file) == target:
+            opens["n"] += 1
+            if opens["n"] > 1:
+                raise OSError("vanished")
+        return real_open(file, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", fake_open)
+    mesh = make_mesh(jax.devices(), dp=8, sp=1)
+    res = decode_corpus(work, out, bucket_granularity=16, mesh=mesh)
+    assert any("file2" in p for p in res.failed), res.failed
+    assert res.converted == len(expect) - 1
+
+
+def test_corpus_huge_decode_error_paths(tmp_path, monkeypatch):
+    """Oversized-file routing handles a corrupt profile and a shrinking
+    stream without leaving partial outputs behind."""
+    import builtins
+
+    from bjxa_tpu.api import encode_pcm
+
+    monkeypatch.setenv("BJXA_SEGMENT_THRESHOLD", "1")
+    rng = np.random.default_rng(61)
+    src = tmp_path / "src"
+    src.mkdir()
+    sig = rng.integers(-20000, 20000, size=(40 * 32, 2)).astype(np.int16)
+    xa = bytearray(encode_pcm(sig, 44100, 6, search=False))
+    xa[32 + 7 * 50] = 0xF0  # invalid factor mid-stream
+    (src / "bad.xa").write_bytes(bytes(xa))
+    good = encode_pcm(sig, 44100, 6, search=False)
+    (src / "shrink.xa").write_bytes(good)
+
+    fake = _ShrinkingOpen(builtins.open, src / "shrink.xa", drop=60)
+    monkeypatch.setattr(builtins, "open", fake)
+    out = tmp_path / "out"
+    res = decode_corpus(src, out)
+    assert len(res.failed) == 2 and res.converted == 0, res.failed
+    assert not list(out.glob("*.wav")) and not list(out.glob("*.tmp"))
+
+
+def test_encode_corpus_vanish_and_huge_error(tmp_path, monkeypatch):
+    """Encode mirrors: staging-time vanish degrades per file, and an
+    oversized WAV that shrinks mid-segment fails cleanly."""
+    import builtins
+
+    from bjxa_tpu.api import encode_pcm
+    from bjxa_tpu.parallel.corpus import encode_corpus
+
+    rng = np.random.default_rng(62)
+    src = tmp_path / "wav"
+    src.mkdir()
+    keep_pcm = rng.integers(-20000, 20000, size=(100, 1)).astype(np.int16)
+    _write_wav(src / "keep.wav", keep_pcm)
+    _write_wav(
+        src / "gone.wav",
+        rng.integers(-20000, 20000, size=(90, 1)).astype(np.int16),
+    )
+    target = str(src / "gone.wav")
+    opens = {"n": 0}
+    real_open = builtins.open
+
+    def fake_open(file, *a, **k):
+        if str(file) == target:
+            opens["n"] += 1
+            if opens["n"] > 1:
+                raise OSError("vanished")
+        return real_open(file, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", fake_open)
+    out = tmp_path / "xa"
+    res = encode_corpus(src, out, bits=6, search=False)
+    assert any("gone" in p for p in res.failed), res.failed
+    assert res.converted == 1
+    assert (out / "keep.xa").read_bytes() == encode_pcm(
+        keep_pcm, 44100, 6, search=False
+    )
+    monkeypatch.setattr(builtins, "open", real_open)
+
+    # oversized WAV shrinking mid-segment: clean failure, no partials
+    monkeypatch.setenv("BJXA_SEGMENT_THRESHOLD", "1")
+    src2 = tmp_path / "wav2"
+    src2.mkdir()
+    _write_wav(
+        src2 / "h.wav",
+        rng.integers(-20000, 20000, size=(300, 1)).astype(np.int16),
+    )
+    fake = _ShrinkingOpen(builtins.open, src2 / "h.wav", drop=100)
+    monkeypatch.setattr(builtins, "open", fake)
+    out2 = tmp_path / "xa2"
+    res = encode_corpus(src2, out2, bits=6, search=False)
+    assert res.failed and res.converted == 0
+    assert not list(out2.glob("*.xa")) and not list(out2.glob("*.tmp"))
+
+
+def test_encode_corpus_wav_shrinks_at_staging(tmp_path, monkeypatch):
+    """A WAV whose body comes up short at staging time (after the header
+    parse passed) is reported as truncated; the batch still converts."""
+    import builtins
+
+    from bjxa_tpu.api import encode_pcm
+    from bjxa_tpu.parallel.corpus import encode_corpus
+
+    rng = np.random.default_rng(63)
+    src = tmp_path / "wav"
+    src.mkdir()
+    keep = rng.integers(-20000, 20000, size=(100, 1)).astype(np.int16)
+    _write_wav(src / "keep.wav", keep)
+    _write_wav(
+        src / "short.wav",
+        rng.integers(-20000, 20000, size=(90, 1)).astype(np.int16),
+    )
+    fake = _ShrinkingOpen(builtins.open, src / "short.wav", drop=8)
+    monkeypatch.setattr(builtins, "open", fake)
+    out = tmp_path / "xa"
+    res = encode_corpus(src, out, bits=6, search=False)
+    assert any("short" in p for p in res.failed), res.failed
+    assert "truncated" in next(
+        v for p, v in res.failed.items() if "short" in p
+    )
+    assert res.converted == 1
+    assert (out / "keep.xa").read_bytes() == encode_pcm(
+        keep, 44100, 6, search=False
+    )

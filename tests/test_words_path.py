@@ -187,7 +187,8 @@ def test_pick_tiles_bounds_padded_memory():
     stays within a small multiple of the real one for every regime."""
     from bjxa_tpu.ops.pallas_decode import pick_tiles
 
-    for L, B in [(1, 20736), (2, 20736), (32, 20672), (200, 10000)]:
+    for L, B in [(1, 20736), (2, 20736), (32, 20672), (200, 10000),
+                 (300, 10000), (1025, 9000)]:
         sub, lt, bt = pick_tiles(L, B)
         assert lt % sub == 0
         padded = -(-L // lt) * lt
