@@ -109,10 +109,16 @@ def main():
             ts.append(best)
         A = np.stack([np.ones(len(sizes)), np.asarray(sizes, float)], 1)
         (fixed, inv_bw), *_ = np.linalg.lstsq(A, np.asarray(ts), rcond=None)
-        return max(fixed, 0.0), 1.0 / max(inv_bw, 1e-12)
+        if inv_bw <= 0 or fixed < -1e-3:
+            # a congested/noisy ramp can fit a non-physical negative
+            # slope or intercept; report the fit as failed instead of
+            # clamping it into an absurd model roofline
+            return None, None
+        return max(fixed, 0.0), 1.0 / inv_bw
 
     up_fixed_s, up_bw = ramp("up")
     down_fixed_s, down_bw = ramp("down")
+    ramp_ok = up_bw is not None and down_bw is not None
 
     # --- interleaved probes + repeated runs, median reporting -----------
     # The tunnel swings ~2x between runs; a single probe paired with a
@@ -185,9 +191,12 @@ def main():
     # model roofline from the ramp fit: per-batch fixed round trips plus
     # byte volume at fitted bandwidth (duplex floor: the slower-modeled
     # direction alone)
-    model_up = n_batches * up_fixed_s + xa_bytes / up_bw
-    model_down = n_batches * down_fixed_s + wav_bytes / down_bw
-    model_duplex_s = max(model_up, model_down)
+    if ramp_ok:
+        model_up = n_batches * up_fixed_s + xa_bytes / up_bw
+        model_down = n_batches * down_fixed_s + wav_bytes / down_bw
+        model_duplex_s = max(model_up, model_down)
+    else:
+        model_duplex_s = None
 
     print(
         json.dumps(
@@ -211,14 +220,21 @@ def main():
                 ),
                 "best_utilization": round(best["util_serial"], 3),
                 "best_duplex_utilization": round(best["util_duplex"], 3),
-                "ramp_up_fixed_ms": round(up_fixed_s * 1e3, 1),
-                "ramp_up_mb_s": round(up_bw / 1e6, 1),
-                "ramp_down_fixed_ms": round(down_fixed_s * 1e3, 1),
-                "ramp_down_mb_s": round(down_bw / 1e6, 1),
-                "model_duplex_s": round(model_duplex_s, 2),
+                "ramp_fit_ok": ramp_ok,
+                "ramp_up_fixed_ms": round(up_fixed_s * 1e3, 1)
+                if up_bw is not None else None,
+                "ramp_up_mb_s": round(up_bw / 1e6, 1)
+                if up_bw is not None else None,
+                "ramp_down_fixed_ms": round(down_fixed_s * 1e3, 1)
+                if down_bw is not None else None,
+                "ramp_down_mb_s": round(down_bw / 1e6, 1)
+                if down_bw is not None else None,
+                "model_duplex_s": round(model_duplex_s, 2)
+                if ramp_ok else None,
                 "model_duplex_utilization": round(
                     model_duplex_s / median["s"], 3
-                ),
+                )
+                if ramp_ok else None,
                 "backend": jax.default_backend(),
                 "vs_baseline": round(median["files_per_s"] / 77.0, 2),
             }

@@ -99,6 +99,88 @@ def encode_pcm(
     return dump_xa_header(fmt) + payload
 
 
+def decode_xa_stream(
+    fin,
+    fout,
+    fmt: XAFormat | None = None,
+    *,
+    segment_blocks: int | None = None,
+    mesh=None,
+) -> XAFormat:
+    """Segmented bounded-memory XA->WAV conversion between binary streams.
+
+    Reads the XA header from ``fin`` (unless a pre-parsed ``fmt`` is given,
+    in which case ``fin`` must be positioned at the payload), writes the
+    RIFF header and PCM to ``fout`` segment by segment at O(segment) host
+    memory — the stream twin of :func:`xa_to_wav` for u32-scale files
+    (reference anchor: the streaming driver ``src/bjxa_decode.c:102-161``).
+    With a multi-device ``mesh`` carrying an ``sp`` axis each segment
+    shards across the devices.  Shared by the CLI's auto-segmented path
+    and the corpus engine's oversized-file routing.
+
+    Raises :class:`bjxa_tpu.errors.BjxaProtocolError` /
+    :class:`EOFError` after writing a failing stream's valid prefix.
+    """
+    from bjxa_tpu.ops.decode import iter_decode_segments
+
+    if fmt is None:
+        fmt = parse_xa_header(fin.read(XA_HEADER_SIZE))
+    fout.write(
+        dump_riff_header(fmt.data_len_pcm, fmt.samples_rate, fmt.channels)
+    )
+    kw = {} if segment_blocks is None else {"segment_blocks": segment_blocks}
+    for pcm in iter_decode_segments(fin.read, fmt, mesh=mesh, **kw):
+        fout.write(dump_pcm(pcm))
+    return fmt
+
+
+def encode_wav_stream(
+    fin,
+    fout,
+    bits: int = 6,
+    *,
+    search: bool = True,
+    rf=None,
+    segment_blocks: int | None = None,
+):
+    """Segmented bounded-memory WAV->XA conversion between binary streams.
+
+    Reads the RIFF header from ``fin`` (unless a pre-parsed ``rf`` is
+    given, with ``fin`` at the PCM body), writes the XA header and packed
+    blocks to ``fout`` segment by segment, carrying the exact search
+    state — bytes identical to :func:`wav_to_xa` at O(segment) memory
+    (reference anchor: ``src/bjxa_encode.c:108-160``).  Returns the
+    :class:`XAFormat` written.  Raises :class:`EOFError` after writing a
+    truncated stream's whole-block prefix.
+    """
+    from bjxa_tpu.format import (
+        BLOCK_SAMPLES,
+        RIFF_HEADER_SIZE,
+        dump_xa_header,
+        parse_riff_header,
+    )
+    from bjxa_tpu.ops.encode import iter_encode_segments
+
+    if rf is None:
+        rf = parse_riff_header(fin.read(RIFF_HEADER_SIZE))
+    nblocks = -(-rf.samples // BLOCK_SAMPLES)
+    fmt = XAFormat(
+        data_len=nblocks * (bits * 4 + 1) * rf.channels,
+        samples=rf.samples,
+        samples_rate=rf.samples_rate,
+        bits=bits,
+        channels=rf.channels,
+        initial_state=((0, 0), (0, 0)),
+    ).validate()
+    fout.write(dump_xa_header(fmt))
+    kw = {} if segment_blocks is None else {"segment_blocks": segment_blocks}
+    for blocks in iter_encode_segments(
+        fin.read, rf.channels, rf.samples, bits=bits, search=search, **kw
+    ):
+        fout.write(blocks)
+    return fmt
+
+
 def wav_to_xa(data: bytes, bits: int = 6, *, search: bool = True) -> bytes:
     """Convert a whole WAVE file image to an XA file image."""
     from bjxa_tpu.format import (

@@ -98,9 +98,11 @@ def _mesh_devices(devices_opt: int | None):
     import jax
 
     n = devices_opt
+    source = "--devices"
     if n is None:
         env = os.environ.get("BJXA_DEVICES")
         if env:
+            source = "BJXA_DEVICES"
             try:
                 n = int(env)
             except ValueError:
@@ -109,7 +111,7 @@ def _mesh_devices(devices_opt: int | None):
     if n is not None:
         if n < 1 or n > len(devs):
             raise ValueError(
-                f"--devices {n} out of range (1..{len(devs)} available)"
+                f"{source} {n} out of range (1..{len(devs)} available)"
             )
         devs = devs[:n]
     return devs if len(devs) > 1 else None
@@ -214,11 +216,19 @@ def _cmd_decode(args: list[str], prog: str) -> int:
 def _decode_stream(
     fin, fout, streaming: bool, devices=None, segment_blocks=None
 ) -> int:
-    try:
-        sp_mesh = _sp_mesh(devices)
-    except ValueError as e:
-        sys.stderr.write(f"bjxa: {e}\n")
-        return 1
+    # An explicit multi-device request (flag or env) validates eagerly —
+    # the user asked for devices, so touching the backend is inherent.
+    # The default path resolves its mesh lazily, only where device work
+    # actually happens: bad-header error paths and `--streaming` (a pure
+    # host path) never pay the backend init.
+    explicit = devices is not None or bool(os.environ.get("BJXA_DEVICES"))
+    sp_mesh = None
+    if explicit:
+        try:
+            sp_mesh = _sp_mesh(devices)
+        except ValueError as e:
+            sys.stderr.write(f"bjxa: {e}\n")
+            return 1
     header = fin.read(XA_HEADER_SIZE)
     if header is None or len(header) < XA_HEADER_SIZE:
         sys.stderr.write("bjxa_fread_header: Input/output error\n")
@@ -229,9 +239,10 @@ def _decode_stream(
         _perror("bjxa_fread_header", e)
         return 1
 
-    fout.write(dump_riff_header(fmt.data_len_pcm, fmt.samples_rate, fmt.channels))
-
     if streaming:
+        fout.write(
+            dump_riff_header(fmt.data_len_pcm, fmt.samples_rate, fmt.channels)
+        )
         from bjxa_tpu.codec import Decoder
 
         dec = Decoder()
@@ -257,17 +268,24 @@ def _decode_stream(
         segment_blocks
         or fmt.data_len + fmt.data_len_pcm > segment_threshold()
     ):
+        if not explicit:
+            sp_mesh = _sp_mesh(None)
         return _decode_segmented(
             fin, fout, fmt, segment_blocks or SEGMENT_BLOCKS,
             mesh=sp_mesh,
         )
 
+    fout.write(
+        dump_riff_header(fmt.data_len_pcm, fmt.samples_rate, fmt.channels)
+    )
     payload = fin.read(fmt.data_len)
     if payload is None or len(payload) < fmt.data_len:
         return _decode_truncated(fout, payload or b"", fmt)
 
     from bjxa_tpu.ops.decode import decode_bytes
 
+    if not explicit:
+        sp_mesh = _sp_mesh(None)
     try:
         # Long streams shard their block range over the local devices
         # (sequence-parallel ppermute ring, bit-exact); decode_bytes
@@ -287,18 +305,17 @@ def _decode_stream(
 
 
 def _decode_segmented(fin, fout, fmt, segment_blocks: int, mesh=None) -> int:
-    """Bounded-memory decode loop: segments stream through the device and
-    land on disk as they finish; error labels match the one-shot paths
-    (the reference's block loop emits the valid prefix before failing,
-    ``src/bjxa_decode.c:122-152``).  On a multi-device host each segment
-    additionally shards across the local devices (sp ring)."""
-    from bjxa_tpu.ops.decode import iter_decode_segments
+    """Bounded-memory decode loop (``api.decode_xa_stream``): segments
+    stream through the device and land on disk as they finish; error
+    labels match the one-shot paths (the reference's block loop emits the
+    valid prefix before failing, ``src/bjxa_decode.c:122-152``).  On a
+    multi-device host each segment shards across the local devices."""
+    from bjxa_tpu.api import decode_xa_stream
 
     try:
-        for pcm in iter_decode_segments(
-            fin.read, fmt, segment_blocks=segment_blocks, mesh=mesh
-        ):
-            fout.write(dump_pcm(pcm))
+        decode_xa_stream(
+            fin, fout, fmt, segment_blocks=segment_blocks, mesh=mesh
+        )
     except EOFError:
         sys.stderr.write("fread: End of file\n")
         return 1
@@ -327,9 +344,11 @@ def _decode_truncated(fout, payload, fmt):
 
     avail = len(payload) // fmt.block_size_xa
     if avail:
-        # avail < fmt.blocks here, so avail*32 < fmt.samples (header
-        # validation pins samples within 32 of blocks*32) — the sample
-        # limit never binds on a truncated stream.
+        # NOTE: avail can equal fmt.blocks — stereo data_len need only be
+        # a whole number of SINGLE-channel blocks (src/libbjxa.c:433), so
+        # the final effective block may be half-present and the sample
+        # cap below must bind (a truncated 5-channel-block stereo stream
+        # has avail == blocks == 2 but only fmt.samples real frames).
         sub = dataclasses.replace(
             fmt,
             data_len=avail * fmt.block_size_xa,
@@ -339,7 +358,7 @@ def _decode_truncated(fout, payload, fmt):
         v = np.asarray(valid).all(axis=1)
         first_bad = int(np.argmin(v)) if not v.all() else len(v)
         good = min(first_bad, avail)
-        out = np.asarray(frames[: good * 32])
+        out = np.asarray(frames[: min(good * 32, sub.samples)])
         if out.size:
             fout.write(dump_pcm(out))
         if first_bad < avail:
@@ -458,34 +477,18 @@ def _encode_stream(
 def _encode_segmented(
     fin, fout, rf, bits: int, search: bool, segment_blocks: int
 ) -> int:
-    """Bounded-memory encode loop: segments of PCM stream through the
-    device with the search state carried exactly, bit-identical to the
-    one-shot encoder (the streaming reference loop writes the header
-    before reading blocks, ``src/bjxa_encode.c:108-160``)."""
-    from bjxa_tpu.format import dump_xa_header
-    from bjxa_tpu.format.xa import XAFormat
-    from bjxa_tpu.ops.encode import iter_encode_segments
+    """Bounded-memory encode loop (``api.encode_wav_stream``): segments
+    of PCM stream through the device with the search state carried
+    exactly, bit-identical to the one-shot encoder (the streaming
+    reference loop writes the header before reading blocks,
+    ``src/bjxa_encode.c:108-160``)."""
+    from bjxa_tpu.api import encode_wav_stream
 
-    nblocks = -(-rf.samples // 32)
-    fmt = XAFormat(
-        data_len=nblocks * (bits * 4 + 1) * rf.channels,
-        samples=rf.samples,
-        samples_rate=rf.samples_rate,
-        bits=bits,
-        channels=rf.channels,
-        initial_state=((0, 0), (0, 0)),
-    ).validate()
-    fout.write(dump_xa_header(fmt))
     try:
-        for chunk in iter_encode_segments(
-            fin.read,
-            rf.channels,
-            rf.samples,
-            bits=bits,
-            search=search,
+        encode_wav_stream(
+            fin, fout, bits, search=search, rf=rf,
             segment_blocks=segment_blocks,
-        ):
-            fout.write(chunk)
+        )
     except EOFError:
         sys.stderr.write("fread: End of file\n")
         return 1

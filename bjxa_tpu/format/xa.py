@@ -131,6 +131,17 @@ class XAFormat:
             raise BjxaProtocolError(
                 "XA header: data_len is not a whole number of blocks"
             )
+        if self.blocks * self.block_size_xa != self.data_len:
+            # The reference's parse accepts a stereo data_len that is a
+            # whole number of single-channel blocks but NOT of effective
+            # blocks — and then aborts on the decode-format assert
+            # (``src/libbjxa.c:597``, verified SIGABRT on the compiled
+            # binary).  Rejecting at parse turns that crash into the
+            # clean EPROTO every other malformed header gets.
+            raise BjxaProtocolError(
+                "XA header: data_len is not a whole number of"
+                " effective blocks"
+            )
         if self.max_samples < self.samples:
             raise BjxaProtocolError("XA header: more samples than data")
         if self.max_samples - self.samples >= BLOCK_SAMPLES:

@@ -756,7 +756,7 @@ def iter_decode_segments(
     read,
     fmt: XAFormat,
     *,
-    segment_blocks: int = 65536,
+    segment_blocks: int = SEGMENT_BLOCKS,
     parallel: bool = True,
     mesh=None,
     sp_axis: str = "sp",

@@ -123,7 +123,7 @@ def iter_encode_segments(
     *,
     bits: int,
     search: bool,
-    segment_blocks: int = 65536,
+    segment_blocks: int | None = None,
 ):
     """Bounded-memory device encode: stream PCM through the device in
     fixed-size block segments, carrying the exact predictor/search state
@@ -146,9 +146,11 @@ def iter_encode_segments(
     yields the whole blocks that arrived (matching the streaming
     encoder's behavior), then raises :class:`EOFError`.
     """
-    from bjxa_tpu.ops.decode import pad_bucket
+    from bjxa_tpu.ops.decode import SEGMENT_BLOCKS, pad_bucket
     from bjxa_tpu.ops.deflate import deflate_blocks
 
+    if segment_blocks is None:
+        segment_blocks = SEGMENT_BLOCKS
     frame_bytes = 2 * channels
     state = jnp.zeros((channels, 2), jnp.int32)
     left = samples

@@ -241,21 +241,27 @@ def decode_corpus(
         groups.setdefault(key, []).append((path, fmt))
 
     # ---- oversized files: segmented bounded-memory decode ---------------
+    # With a (dp) mesh, the most expensive files would otherwise leave
+    # every device but one idle: rebuild the same devices as an sp mesh
+    # so each segment's block range shards over the ring instead.
+    sp_mesh = None
+    if mesh is not None and huge:
+        from bjxa_tpu.parallel.mesh import make_mesh
+
+        devs = list(mesh.devices.flat)
+        if len(devs) > 1:
+            sp_mesh = make_mesh(
+                devs, dp=len(devs), sp=1, axis_names=("sp", "_")
+            )
     for path, fmt in huge:
         out_path = out_dir / (path.stem + ".wav")
         tmp = out_path.with_suffix(".wav.tmp")
         try:
-            from bjxa_tpu.ops.decode import iter_decode_segments
+            from bjxa_tpu.api import decode_xa_stream
 
             with open(path, "rb") as fin, open(tmp, "wb") as fout:
                 fin.seek(XA_HEADER_SIZE)
-                fout.write(
-                    dump_riff_header(
-                        fmt.data_len_pcm, fmt.samples_rate, fmt.channels
-                    )
-                )
-                for pcm in iter_decode_segments(fin.read, fmt):
-                    fout.write(dump_pcm(pcm))
+                decode_xa_stream(fin, fout, fmt, mesh=sp_mesh)
             tmp.replace(out_path)
         except (BjxaError, EOFError, OSError) as e:
             failed[str(path)] = str(e)
@@ -521,29 +527,20 @@ def encode_corpus(
         groups.setdefault(key, []).append((path, rf))
 
     # ---- oversized WAVs: segmented bounded-memory encode ----------------
-    from bjxa_tpu.ops.encode import iter_encode_segments
+    # (The search carries sequential state, so a single stream's encode
+    # cannot shard across devices the way decode's ring does — its lanes
+    # are only the channels; segments bound the memory, not the time.)
+    from bjxa_tpu.api import encode_wav_stream
 
     for path, rf in huge:
         out_path = out_dir / (path.stem + ".xa")
         tmp = out_path.with_suffix(".xa.tmp")
         try:
-            nblocks = -(-rf.samples // BLOCK_SAMPLES)
-            fmt = XAFormat(
-                data_len=nblocks * (bits * 4 + 1) * rf.channels,
-                samples=rf.samples,
-                samples_rate=rf.samples_rate,
-                bits=bits,
-                channels=rf.channels,
-                initial_state=((0, 0), (0, 0)),
-            ).validate()
             with open(path, "rb") as fin, open(tmp, "wb") as fout:
                 fin.seek(RIFF_HEADER_SIZE)
-                fout.write(dump_xa_header(fmt))
-                for blocks_bytes in iter_encode_segments(
-                    fin.read, rf.channels, rf.samples,
-                    bits=bits, search=search,
-                ):
-                    fout.write(blocks_bytes)
+                fmt = encode_wav_stream(
+                    fin, fout, bits, search=search, rf=rf
+                )
             tmp.replace(out_path)
         except (BjxaError, EOFError, OSError) as e:
             failed[str(path)] = str(e)

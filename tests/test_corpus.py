@@ -548,3 +548,38 @@ def test_encode_corpus_wav_shrinks_at_staging(tmp_path, monkeypatch):
     assert (out / "keep.xa").read_bytes() == encode_pcm(
         keep, 44100, 6, search=False
     )
+
+
+def test_corpus_huge_uses_sp_ring_on_mesh(tmp_path, monkeypatch):
+    """With a dp mesh, oversized files shard each segment over the same
+    devices re-meshed as an sp ring instead of leaving N-1 devices idle."""
+    import jax
+
+    from bjxa_tpu.api import encode_pcm, xa_to_wav
+    from bjxa_tpu.parallel import sharded
+    from bjxa_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.setenv("BJXA_SEGMENT_THRESHOLD", "1")
+    rng = np.random.default_rng(71)
+    src = tmp_path / "src"
+    src.mkdir()
+    sig = rng.integers(-20000, 20000, size=(300 * 32, 2)).astype(np.int16)
+    xa = encode_pcm(sig, 44100, 6, search=False)
+    (src / "h.xa").write_bytes(xa)
+
+    calls = []
+    orig = sharded.decode_file_sharded
+
+    def spy(*a, **k):
+        calls.append(k.get("mesh"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sharded, "decode_file_sharded", spy)
+    mesh = make_mesh(jax.devices(), dp=8, sp=1)
+    out = tmp_path / "out"
+    res = decode_corpus(src, out, mesh=mesh)
+    assert res.converted == 1, res.failed
+    assert calls and all(m.shape["sp"] == 8 for m in calls)
+    assert (out / "h.wav").read_bytes() == xa_to_wav(xa)

@@ -224,3 +224,27 @@ def test_riff_rejection(kwargs):
 def test_riff_short_buffer():
     with pytest.raises(BjxaBufferError):
         parse_riff_header(riff_header()[:43])
+
+
+def test_stereo_odd_channel_block_data_len_rejected():
+    """A stereo data_len that is a whole number of single-channel blocks
+    but not of effective blocks is rejected at parse: the reference's
+    parser accepts it and then ABORTS on the decode-format assert
+    (src/libbjxa.c:597, verified SIGABRT) — here it is a clean EPROTO."""
+    import struct
+
+    import pytest
+
+    from bjxa_tpu.errors import BjxaProtocolError
+    from bjxa_tpu.format import parse_xa_header
+
+    hdr = struct.pack(
+        "<4sIIHBBI4hI", b"KWD1", 125, 49, 44100, 6, 2, 0, 0, 0, 0, 0, 0
+    )
+    with pytest.raises(BjxaProtocolError, match="effective blocks"):
+        parse_xa_header(hdr)
+    # the mono equivalent (data_len=125, 5 blocks) stays valid
+    hdr = struct.pack(
+        "<4sIIHBBI4hI", b"KWD1", 125, 155, 44100, 6, 1, 0, 0, 0, 0, 0, 0
+    )
+    assert parse_xa_header(hdr).blocks == 5
