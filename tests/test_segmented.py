@@ -338,3 +338,34 @@ def test_cli_segmented_decode_error_paths(stream):
     assert code == 1 and "Protocol error" in err
     code, one, _ = run_cli(["decode", "--devices", "1"], stdin=bytes(bad))
     assert code == 1 and seg == one
+
+
+def test_stream_api_parses_own_headers(tmp_path):
+    """The public stream API (api.decode_xa_stream / encode_wav_stream)
+    parses container headers itself when none is pre-supplied, matching
+    the one-shot byte converters exactly."""
+    from bjxa_tpu.api import (
+        decode_xa_stream,
+        encode_wav_stream,
+        wav_to_xa,
+        xa_to_wav,
+    )
+    from bjxa_tpu.format import dump_pcm, dump_riff_header
+
+    rng = np.random.default_rng(81)
+    pcm = rng.integers(-20000, 20000, size=(200 * 32 - 5, 2)).astype(
+        np.int16
+    )
+    wav = dump_riff_header(pcm.size * 2, 44100, 2) + dump_pcm(pcm)
+
+    out = io.BytesIO()
+    fmt = encode_wav_stream(
+        io.BytesIO(wav), out, 6, search=False, segment_blocks=64
+    )
+    assert out.getvalue() == wav_to_xa(wav, 6, search=False)
+    assert fmt.samples == pcm.shape[0]
+
+    xa = out.getvalue()
+    out2 = io.BytesIO()
+    decode_xa_stream(io.BytesIO(xa), out2, segment_blocks=64)
+    assert out2.getvalue() == xa_to_wav(xa)
