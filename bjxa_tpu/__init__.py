@@ -33,7 +33,14 @@ from bjxa_tpu.format import (
     dump_pcm,
     load_pcm,
 )
-from bjxa_tpu.api import decode_xa, xa_to_wav
+from bjxa_tpu.api import (
+    decode_xa,
+    decode_xa_stream,
+    encode_pcm,
+    encode_wav_stream,
+    wav_to_xa,
+    xa_to_wav,
+)
 
 __all__ = [
     "__version__",
@@ -56,5 +63,9 @@ __all__ = [
     "dump_pcm",
     "load_pcm",
     "decode_xa",
+    "decode_xa_stream",
+    "encode_pcm",
+    "encode_wav_stream",
+    "wav_to_xa",
     "xa_to_wav",
 ]
