@@ -78,9 +78,31 @@ def encode_pcm(
     lanes = padded.reshape(nblocks, BLOCK_SAMPLES, channels)
 
     if search:
-        profiles, coded, _recon, _end = encode_search(
-            jnp.asarray(lanes), jnp.zeros((channels, 2), jnp.int32), bits=bits
+        from bjxa_tpu.ops.encode import (
+            encode_search_fixpoint,
+            pick_encode_chunks,
         )
+
+        K = pick_encode_chunks(nblocks, channels)
+        if K > 1:
+            # chunk-parallel exact fixed point: lifts a single stream's
+            # search occupancy from `channels` lanes to K*channels,
+            # bit-identical to the sequential greedy search (converges
+            # in 2-4 rounds, tools/encode_fixpoint_census.py)
+            profiles, coded, _recon, _end, _r = encode_search_fixpoint(
+                lanes,
+                np.zeros((channels, 2), np.int32),
+                bits=bits,
+                num_chunks=K,
+            )
+            profiles = jnp.asarray(profiles)
+            coded = jnp.asarray(coded)
+        else:
+            profiles, coded, _recon, _end = encode_search(
+                jnp.asarray(lanes),
+                jnp.zeros((channels, 2), jnp.int32),
+                bits=bits,
+            )
     else:
         profiles, coded = encode_truncate(jnp.asarray(lanes))
     # [B, 32, C] -> [B, C, 32] so packed bytes land channel-major inside

@@ -116,6 +116,116 @@ def encode_batch_blocks(pcm: jnp.ndarray, *, bits: int, search: bool):
     return deflate_blocks(profiles, coded.transpose(0, 2, 1), bits).reshape(-1)
 
 
+def encode_search_fixpoint(
+    pcm: np.ndarray,
+    state: np.ndarray,
+    *,
+    bits: int,
+    num_chunks: int,
+):
+    """Chunk-parallel exact profile-search encode of ONE stream.
+
+    The greedy search's only cross-block coupling is the 2-tap carried
+    state, exactly like the decoder — so the decoder's boundary-state
+    fixed point applies: split the block range into ``num_chunks``
+    chunks laid out as independent lanes, encode all chunks in parallel
+    from guessed entry states, propagate each chunk's exact end state
+    one chunk forward, and iterate until nothing changes.  Chunk 0 is
+    anchored at the true entry state, so after r rounds chunks 0..r are
+    exactly right; the fixed point IS the sequential encode (bitwise),
+    and it is reached in 2-6 rounds regardless of K on every measured
+    signal regime (``tools/encode_fixpoint_census.py``).  This lifts a
+    single stream's search from a B-row serial kernel to
+    ``rounds x (B/K)``-row kernels over ``K * channels`` lanes — a win
+    wherever per-dispatch costs are small (see
+    :func:`pick_encode_chunks` for why it is opt-in on this tunnel).
+
+    Args:
+      pcm:   int-like ``[B, 32, C]`` (zero-padded final block).
+      state: ``int32[C, 2]`` entry state.
+
+    Returns ``(profiles int32[B, C], coded int32[B, 32, C],
+    recon int16[B, 32, C], end_state int32[C, 2], rounds int)``.
+    """
+    import jax.numpy as jnp
+
+    B, ns, C = pcm.shape
+    K = num_chunks
+    Bc = -(-B // K)
+    pad = K * Bc - B
+    arr = np.asarray(pcm, np.int32)
+    if pad:
+        arr = np.concatenate(
+            [arr, np.zeros((pad, ns, C), np.int32)], axis=0
+        )
+    # lanes l = k*C + c (chunk-major, channel-minor), like the decoder
+    lanes = np.ascontiguousarray(
+        arr.reshape(K, Bc, ns, C).transpose(1, 2, 0, 3)
+    ).reshape(Bc, ns, K * C)
+    lanes_j = jnp.asarray(lanes)
+
+    states = np.zeros((K, C, 2), np.int32)
+    states[0] = np.asarray(state, np.int32)
+    rounds = 0
+    prof = coded = recon = end = None
+    while rounds < K:
+        prof, coded, recon, end = encode_search(
+            lanes_j, jnp.asarray(states.reshape(K * C, 2)), bits=bits
+        )
+        e = np.asarray(end).reshape(K, C, 2)
+        new_states = np.concatenate([states[:1], e[:-1]], axis=0)
+        rounds += 1
+        if (new_states == states).all():
+            break
+        states = new_states
+
+    # unscramble chunk lanes back to stream order and trim the pad
+    prof_s = (
+        np.asarray(prof).reshape(Bc, K, C).transpose(1, 0, 2)
+        .reshape(K * Bc, C)[:B]
+    )
+    coded_s = (
+        np.asarray(coded).reshape(Bc, ns, K, C).transpose(2, 0, 1, 3)
+        .reshape(K * Bc, ns, C)[:B]
+    )
+    recon_s = (
+        np.asarray(recon).reshape(Bc, ns, K, C).transpose(2, 0, 1, 3)
+        .reshape(K * Bc, ns, C)[:B]
+    )
+    # true end state: after the last REAL block (pad blocks, if any, all
+    # live in the final chunk and are trimmed; their lanes' end states
+    # are garbage, so recover from the reconstruction)
+    end_s = np.stack(
+        [recon_s[B - 1, -1, :], recon_s[B - 1, -2, :]], axis=-1
+    ).astype(np.int32)
+    return prof_s, coded_s, recon_s, end_s, rounds
+
+
+def pick_encode_chunks(nblocks: int, channels: int) -> int:
+    """Chunk count for :func:`encode_search_fixpoint` — OPT-IN.
+
+    Measured on the tunnel-attached chip (32768-block stereo stream):
+    sequential 0.70 s; fixpoint 0.72 s at K=2048 (6 rounds) / 1.08 s at
+    K=512 — each fixpoint round pays a dispatch plus an end-state D2H
+    sync (~24 ms each through the tunnel), and those fixed costs alone
+    exceed the whole sequential kernel.  On a host with microsecond
+    round trips the same arithmetic predicts a large win (rounds x tiny
+    chunk kernels vs one B-row kernel), so the machinery stays, bitwise
+    verified, behind ``BJXA_ENCODE_FIXPOINT_CHUNKS`` (0/unset = off;
+    ``auto`` targets the lane sweet spot; an integer forces K)."""
+    import os
+
+    env = os.environ.get("BJXA_ENCODE_FIXPOINT_CHUNKS", "")
+    if env in ("", "0", "off"):
+        return 1
+    if nblocks < 64:
+        return 1
+    if env == "auto":
+        return max(min(8192 // channels, nblocks // 16), 1)
+    k = int(env)
+    return max(min(k, nblocks // 16), 1)
+
+
 def iter_encode_segments(
     read,
     channels: int,
@@ -174,6 +284,40 @@ def iter_encode_segments(
                 .reshape(-1, channels)
             )
             lanes = arr.reshape(Bp, BLOCK_SAMPLES, channels)
+            Kc = pick_encode_chunks(Bp, channels) if search else 1
+            if search and Kc > 1:
+                # chunk-parallel exact fixed point per segment: the
+                # segment's search runs at Kc*channels lanes instead of
+                # `channels` (bit-identical; 2-4 rounds)
+                profiles, coded, recon_np, _end, _r = (
+                    encode_search_fixpoint(
+                        lanes,
+                        np.asarray(state),
+                        bits=bits,
+                        num_chunks=Kc,
+                    )
+                )
+                blocks = deflate_blocks(
+                    jnp.asarray(profiles),
+                    jnp.asarray(coded).transpose(0, 2, 1),
+                    bits,
+                )
+                yield np.asarray(blocks[:nblocks]).tobytes()
+                # carried state = after the last REAL block of this
+                # segment (robust to the bucket pad either way)
+                state = jnp.asarray(
+                    np.stack(
+                        [
+                            recon_np[nblocks - 1, -1, :],
+                            recon_np[nblocks - 1, -2, :],
+                        ],
+                        axis=-1,
+                    ).astype(np.int32)
+                )
+                if truncated:
+                    raise EOFError("truncated PCM stream")
+                left -= want_frames
+                continue
             if search:
                 profiles, coded, _recon, end = encode_search(
                     jnp.asarray(lanes), state, bits=bits

@@ -206,3 +206,61 @@ def test_rank_contract_impls_agree_on_high_energy_blocks():
     profs = _all_impl_profiles(pcm, 6)
     for other in profs[1:]:
         np.testing.assert_array_equal(profs[0], other)
+
+
+# -- chunk-parallel search fixpoint (single-stream occupancy) ----------------
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+@pytest.mark.parametrize("nblocks", [64, 130, 257])
+def test_encode_fixpoint_matches_sequential(channels, nblocks):
+    """encode_search_fixpoint is bit-identical to the sequential greedy
+    search — profiles, coded values, reconstruction, and end state — for
+    odd block counts, stereo, nonzero entry states, and adversarial
+    full-scale noise."""
+    import jax.numpy as jnp
+
+    from bjxa_tpu.ops.encode import encode_search_fixpoint
+
+    rng = np.random.default_rng(nblocks * channels)
+    pcm = rng.integers(
+        -32768, 32768, size=(nblocks, 32, channels)
+    ).astype(np.int32)
+    state = rng.integers(-3000, 3000, size=(channels, 2)).astype(np.int32)
+    sp, sc, sr, se = encode_search(
+        jnp.asarray(pcm), jnp.asarray(state), bits=6
+    )
+    fp, fc, fr, fe, rounds = encode_search_fixpoint(
+        pcm, state, bits=6, num_chunks=16
+    )
+    np.testing.assert_array_equal(fp, np.asarray(sp))
+    np.testing.assert_array_equal(fc, np.asarray(sc))
+    np.testing.assert_array_equal(fr, np.asarray(sr))
+    np.testing.assert_array_equal(fe, np.asarray(se))
+    assert 1 <= rounds <= 16
+
+
+def test_encode_pcm_routes_through_fixpoint(monkeypatch):
+    """With BJXA_ENCODE_FIXPOINT_CHUNKS set (opt-in — see
+    pick_encode_chunks for the tunnel measurement that keeps it off by
+    default), encode_pcm routes long streams through the chunk fixpoint
+    and produces identical bytes."""
+    from bjxa_tpu.ops import encode as enc_mod
+
+    rng = np.random.default_rng(3)
+    pcm = rng.integers(-25000, 25000, size=(200 * 32, 2)).astype(np.int16)
+    want = encode_pcm(pcm, 44100, 6, search=True)
+
+    calls = []
+    orig = enc_mod.encode_search_fixpoint
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        calls.append(out[-1])
+        return out
+
+    monkeypatch.setattr(enc_mod, "encode_search_fixpoint", spy)
+    monkeypatch.setenv("BJXA_ENCODE_FIXPOINT_CHUNKS", "auto")
+    got = encode_pcm(pcm, 44100, 6, search=True)
+    assert calls and all(1 <= r <= 8192 for r in calls)
+    assert got == want  # bit-identical bytes either way
