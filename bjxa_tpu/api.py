@@ -47,12 +47,20 @@ def encode_pcm(
     bits: int = 6,
     *,
     search: bool = True,
+    mesh=None,
+    sp_axis: str = "sp",
+    sp_min_blocks: int = 2048,
 ) -> bytes:
     """Encode interleaved PCM ``int16[samples, C]`` to an XA file image.
 
     ``search=True`` runs the per-block exhaustive filter-profile sweep;
     ``search=False`` reproduces the reference encoder byte-for-byte
-    (profile 0, truncation only).
+    (profile 0, truncation only).  With a multi-device ``mesh`` carrying
+    an ``sp_axis`` of size > 1 and at least ``sp_min_blocks`` blocks, the
+    search's block range shards across the devices through the ppermute
+    boundary-state ring
+    (:func:`bjxa_tpu.parallel.sharded.encode_file_sharded`) —
+    bit-identical to the sequential greedy search.
     """
     import jax.numpy as jnp
 
@@ -77,7 +85,26 @@ def encode_pcm(
     padded[:samples] = pcm
     lanes = padded.reshape(nblocks, BLOCK_SAMPLES, channels)
 
-    if search:
+    use_mesh = (
+        search
+        and mesh is not None
+        and sp_axis in getattr(mesh, "shape", {})
+        and mesh.shape[sp_axis] > 1
+        and nblocks >= sp_min_blocks
+    )
+    if use_mesh:
+        from bjxa_tpu.parallel.sharded import encode_file_sharded
+
+        blocks_np, _end, _rounds = encode_file_sharded(
+            lanes,
+            np.zeros((channels, 2), np.int32),
+            bits=bits,
+            mesh=mesh,
+            axis=sp_axis,
+        )
+        profiles = coded = None
+        payload = blocks_np.tobytes()
+    elif search:
         from bjxa_tpu.ops.encode import (
             encode_search_fixpoint,
             pick_encode_chunks,
@@ -105,10 +132,11 @@ def encode_pcm(
             )
     else:
         profiles, coded = encode_truncate(jnp.asarray(lanes))
-    # [B, 32, C] -> [B, C, 32] so packed bytes land channel-major inside
-    # each effective block, matching the file layout.
-    blocks = deflate_blocks(profiles, coded.transpose(0, 2, 1), bits)
-    payload = np.asarray(blocks).tobytes()
+    if not use_mesh:
+        # [B, 32, C] -> [B, C, 32] so packed bytes land channel-major
+        # inside each effective block, matching the file layout.
+        blocks = deflate_blocks(profiles, coded.transpose(0, 2, 1), bits)
+        payload = np.asarray(blocks).tobytes()
 
     fmt = XAFormat(
         data_len=len(payload),
@@ -164,6 +192,7 @@ def encode_wav_stream(
     search: bool = True,
     rf=None,
     segment_blocks: int | None = None,
+    mesh=None,
 ):
     """Segmented bounded-memory WAV->XA conversion between binary streams.
 
@@ -171,9 +200,11 @@ def encode_wav_stream(
     given, with ``fin`` at the PCM body), writes the XA header and packed
     blocks to ``fout`` segment by segment, carrying the exact search
     state — bytes identical to :func:`wav_to_xa` at O(segment) memory
-    (reference anchor: ``src/bjxa_encode.c:108-160``).  Returns the
-    :class:`XAFormat` written.  Raises :class:`EOFError` after writing a
-    truncated stream's whole-block prefix.
+    (reference anchor: ``src/bjxa_encode.c:108-160``).  With a
+    multi-device ``mesh`` carrying an ``sp`` axis each segment's search
+    shards across the devices.  Returns the :class:`XAFormat` written.
+    Raises :class:`EOFError` after writing a truncated stream's
+    whole-block prefix.
     """
     from bjxa_tpu.format import (
         BLOCK_SAMPLES,
@@ -197,7 +228,8 @@ def encode_wav_stream(
     fout.write(dump_xa_header(fmt))
     kw = {} if segment_blocks is None else {"segment_blocks": segment_blocks}
     for blocks in iter_encode_segments(
-        fin.read, rf.channels, rf.samples, bits=bits, search=search, **kw
+        fin.read, rf.channels, rf.samples, bits=bits, search=search,
+        mesh=mesh, **kw
     ):
         fout.write(blocks)
     return fmt

@@ -52,12 +52,16 @@ Available actions:
     memory segments; --segment-blocks forces segmented
     decode with the given segment size.
 
-  encode [--bits <4|6|8>] [--truncate] [--segment-blocks <n>]
-         [wav file> [<xa file>]]
+  encode [--bits <4|6|8>] [--truncate] [--devices <n>]
+         [--segment-blocks <n>] [wav file> [<xa file>]]
     Read a WAV file and convert it into an XA file.
     The default number of bits per sample, when left
     unspecified is 6. --truncate disables the filter
     profile search (reference-compatible output).
+    Long streams shard the search's block range across
+    all local devices (sequence parallel); --devices
+    caps the device count (BJXA_DEVICES env equivalent;
+    1 forces single-device).
     Files whose PCM exceeds 256 MB stream through the
     device in bounded-memory segments (exact carried
     search state); --segment-blocks forces it.
@@ -344,11 +348,11 @@ def _decode_truncated(fout, payload, fmt):
 
     avail = len(payload) // fmt.block_size_xa
     if avail:
-        # NOTE: avail can equal fmt.blocks — stereo data_len need only be
-        # a whole number of SINGLE-channel blocks (src/libbjxa.c:433), so
-        # the final effective block may be half-present and the sample
-        # cap below must bind (a truncated 5-channel-block stereo stream
-        # has avail == blocks == 2 but only fmt.samples real frames).
+        # avail < fmt.blocks always holds here: XAFormat.validate rejects
+        # a stereo data_len that is not a whole number of EFFECTIVE
+        # blocks (see PARITY.md "Known divergences"), so a short payload
+        # can never supply every effective block.  The samples cap below
+        # is therefore just belt-and-braces for the general sub-format.
         sub = dataclasses.replace(
             fmt,
             data_len=avail * fmt.block_size_xa,
@@ -389,6 +393,7 @@ def _decode_valid_prefix(payload, fmt):
 def _cmd_encode(args: list[str], prog: str) -> int:
     bits = 6
     search = True
+    devices = None
     segment_blocks = None
     while args and args[0].startswith("--"):
         if args[0] == "--bits":
@@ -405,6 +410,11 @@ def _cmd_encode(args: list[str], prog: str) -> int:
         elif args[0] == "--truncate":
             search = False
             args = args[1:]
+        elif args[0] == "--devices":
+            if len(args) < 2 or not args[1].isdigit() or int(args[1]) < 1:
+                return _fail(prog, "Invalid --devices")
+            devices = int(args[1])
+            args = args[2:]
         elif args[0] == "--segment-blocks":
             if len(args) < 2 or not args[1].isdigit() or int(args[1]) < 1:
                 return _fail(prog, "Invalid --segment-blocks")
@@ -428,7 +438,8 @@ def _cmd_encode(args: list[str], prog: str) -> int:
 
     try:
         return _encode_stream(
-            fin, fout, bits, search, segment_blocks=segment_blocks
+            fin, fout, bits, search, devices=devices,
+            segment_blocks=segment_blocks,
         )
     finally:
         if close_in:
@@ -438,8 +449,20 @@ def _cmd_encode(args: list[str], prog: str) -> int:
 
 
 def _encode_stream(
-    fin, fout, bits: int, search: bool, segment_blocks=None
+    fin, fout, bits: int, search: bool, devices=None, segment_blocks=None
 ) -> int:
+    # Mesh resolution mirrors _decode_stream: an explicit multi-device
+    # request (flag or env) validates eagerly; the default path resolves
+    # its mesh lazily, only where device work actually happens, so
+    # bad-header error paths never pay the backend init.
+    explicit = devices is not None or bool(os.environ.get("BJXA_DEVICES"))
+    sp_mesh = None
+    if explicit:
+        try:
+            sp_mesh = _sp_mesh(devices)
+        except ValueError as e:
+            sys.stderr.write(f"bjxa: {e}\n")
+            return 1
     header = fin.read(RIFF_HEADER_SIZE)
     if header is None or len(header) < RIFF_HEADER_SIZE:
         sys.stderr.write("bjxa_fread_riff_header: Input/output error\n")
@@ -453,8 +476,11 @@ def _encode_stream(
     from bjxa_tpu.ops.decode import SEGMENT_BLOCKS, segment_threshold
 
     if segment_blocks or rf.data_len_pcm > segment_threshold():
+        if not explicit and search:
+            sp_mesh = _sp_mesh(None)
         return _encode_segmented(
-            fin, fout, rf, bits, search, segment_blocks or SEGMENT_BLOCKS
+            fin, fout, rf, bits, search, segment_blocks or SEGMENT_BLOCKS,
+            mesh=sp_mesh,
         )
 
     body = fin.read(rf.data_len_pcm)
@@ -463,9 +489,17 @@ def _encode_stream(
 
     from bjxa_tpu.api import encode_pcm
 
+    if not explicit and search:
+        sp_mesh = _sp_mesh(None)
     try:
+        # Long streams shard the profile search's block range over the
+        # local devices (sequence-parallel ppermute ring, bit-identical
+        # to the sequential greedy search); encode_pcm ignores the mesh
+        # for short streams and _sp_mesh returns None on single-device
+        # hosts, so the default path is unchanged there.
         xa = encode_pcm(
-            load_pcm(body, rf.channels), rf.samples_rate, bits, search=search
+            load_pcm(body, rf.channels), rf.samples_rate, bits,
+            search=search, mesh=sp_mesh,
         )
     except BjxaError as e:
         _perror("bjxa_encode", e)
@@ -475,19 +509,20 @@ def _encode_stream(
 
 
 def _encode_segmented(
-    fin, fout, rf, bits: int, search: bool, segment_blocks: int
+    fin, fout, rf, bits: int, search: bool, segment_blocks: int, mesh=None
 ) -> int:
     """Bounded-memory encode loop (``api.encode_wav_stream``): segments
     of PCM stream through the device with the search state carried
     exactly, bit-identical to the one-shot encoder (the streaming
     reference loop writes the header before reading blocks,
-    ``src/bjxa_encode.c:108-160``)."""
+    ``src/bjxa_encode.c:108-160``).  On a multi-device host each
+    segment's search shards across the local devices (ppermute ring)."""
     from bjxa_tpu.api import encode_wav_stream
 
     try:
         encode_wav_stream(
             fin, fout, bits, search=search, rf=rf,
-            segment_blocks=segment_blocks,
+            segment_blocks=segment_blocks, mesh=mesh,
         )
     except EOFError:
         sys.stderr.write("fread: End of file\n")

@@ -749,7 +749,15 @@ def segment_threshold() -> int:
     """The active segmentation byte threshold (env-overridable)."""
     import os
 
-    return int(os.environ.get("BJXA_SEGMENT_THRESHOLD", SEGMENT_THRESHOLD))
+    env = os.environ.get("BJXA_SEGMENT_THRESHOLD", "")
+    if not env:
+        return SEGMENT_THRESHOLD
+    try:
+        return int(env)
+    except ValueError:
+        from bjxa_tpu.errors import BjxaInvalidState
+
+        raise BjxaInvalidState(f"Invalid BJXA_SEGMENT_THRESHOLD {env!r}")
 
 
 def iter_decode_segments(

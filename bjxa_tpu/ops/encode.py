@@ -201,28 +201,115 @@ def encode_search_fixpoint(
     return prof_s, coded_s, recon_s, end_s, rounds
 
 
-def pick_encode_chunks(nblocks: int, channels: int) -> int:
-    """Chunk count for :func:`encode_search_fixpoint` — OPT-IN.
+#: Dispatch + end-state-sync round trips above this make the fixpoint's
+#: per-round fixed costs exceed its occupancy win (measured: the ~33 ms
+#: tunnel loses, sequential 0.169 s vs fixpoint 0.297 s at 8192 stereo
+#: blocks, ``benchmarks/bench_fixpoint_link.py``).  PCIe-attached chips
+#: sit at ~100-300 us, comfortably below.
+FIXPOINT_RTT_CUTOFF_US = 2000.0
 
-    Measured on the tunnel-attached chip (32768-block stereo stream):
-    sequential 0.70 s; fixpoint 0.72 s at K=2048 (6 rounds) / 1.08 s at
-    K=512 — each fixpoint round pays a dispatch plus an end-state D2H
-    sync (~24 ms each through the tunnel), and those fixed costs alone
-    exceed the whole sequential kernel.  On a host with microsecond
-    round trips the same arithmetic predicts a large win (rounds x tiny
-    chunk kernels vs one B-row kernel), so the machinery stays, bitwise
-    verified, behind ``BJXA_ENCODE_FIXPOINT_CHUNKS`` (0/unset = off;
-    ``auto`` targets the lane sweet spot; an integer forces K)."""
+
+def fixpoint_default_on() -> bool:
+    """Whether the adaptive default enables the encode chunk fixpoint.
+
+    Two measured conditions, both required:
+
+    * a TPU-like backend — the win is VPU lane occupancy (K*C wide lanes
+      instead of C), and on the CPU backend, where XLA is
+      element-throughput-bound at any width, the fixpoint's rounds-times
+      extra element work makes it a measured 0.7x LOSS even at a 15 us
+      link (``benchmarks/bench_fixpoint_link.py``, falsifying the
+      "any fast link wins" hypothesis);
+    * a link round trip below :data:`FIXPOINT_RTT_CUTOFF_US` — each
+      round pays an end-state D2H sync, and through the ~33 ms tunnel
+      those fixed costs alone exceed the whole sequential kernel.
+    """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return False
+    return link_rtt_us() <= FIXPOINT_RTT_CUTOFF_US
+
+_LINK_RTT_US: float | None = None
+
+
+def link_rtt_us() -> float:
+    """Measured dispatch + small-D2H round trip of the default backend,
+    microseconds.
+
+    Times ``np.asarray(jit(x+1)(x))`` for a 4 KB array (minimum of 5
+    reps, compile outside the timing) — NOT a bare
+    ``block_until_ready``, because on tunnelled runtimes completion acks
+    are push-based and cheap (~57 us measured) while materializing even
+    a tiny result pays the link's fixed transfer cost (~33 ms measured,
+    ``benchmarks/bench_fixpoint_link.py``), and the fixpoint's per-round
+    cost is exactly one such materialization (the end-state sync).
+    Probed once per process and cached; ``BJXA_LINK_RTT_US`` overrides
+    for tests and for deployments whose link is already characterized.
+    """
+    global _LINK_RTT_US
+    if _LINK_RTT_US is not None:
+        return _LINK_RTT_US
+    import os
+
+    env = os.environ.get("BJXA_LINK_RTT_US", "")
+    if env:
+        try:
+            _LINK_RTT_US = float(env)
+        except ValueError:
+            from bjxa_tpu.errors import BjxaInvalidState
+
+            raise BjxaInvalidState(f"Invalid BJXA_LINK_RTT_US {env!r}")
+        return _LINK_RTT_US
+    import time
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8, 128), jnp.int32)
+    np.asarray(f(x))  # compile + warm outside the timed reps
+    ts = []
+    for _ in range(5):
+        t = time.perf_counter()
+        np.asarray(f(x))
+        ts.append(time.perf_counter() - t)
+    _LINK_RTT_US = min(ts) * 1e6
+    return _LINK_RTT_US
+
+
+def pick_encode_chunks(nblocks: int, channels: int) -> int:
+    """Chunk count for :func:`encode_search_fixpoint` — LINK-ADAPTIVE.
+
+    Each fixpoint round pays a dispatch plus an end-state D2H sync, so
+    whether the 2-6 rounds of ``(B/K)``-row kernels beat one ``B``-row
+    kernel is a property of the backend and the link, not the workload
+    (see :func:`fixpoint_default_on` for the two measured conditions and
+    the falsified "any fast link wins" hypothesis).  The default probes
+    both once and enables the fixpoint only where it is predicted to
+    win — a PCIe-attached TPU-like chip.
+
+    ``BJXA_ENCODE_FIXPOINT_CHUNKS`` overrides: ``0``/``off`` forces
+    sequential, ``auto`` forces the lane sweet spot, an integer forces K.
+    """
     import os
 
     env = os.environ.get("BJXA_ENCODE_FIXPOINT_CHUNKS", "")
-    if env in ("", "0", "off"):
+    if env in ("0", "off"):
         return 1
     if nblocks < 64:
         return 1
+    if env == "":
+        if not fixpoint_default_on():
+            return 1
+        env = "auto"
     if env == "auto":
         return max(min(8192 // channels, nblocks // 16), 1)
-    k = int(env)
+    try:
+        k = int(env)
+    except ValueError:
+        from bjxa_tpu.errors import BjxaInvalidState
+
+        raise BjxaInvalidState(
+            f"Invalid BJXA_ENCODE_FIXPOINT_CHUNKS {env!r}"
+        )
     return max(min(k, nblocks // 16), 1)
 
 
@@ -234,6 +321,8 @@ def iter_encode_segments(
     bits: int,
     search: bool,
     segment_blocks: int | None = None,
+    mesh=None,
+    sp_axis: str = "sp",
 ):
     """Bounded-memory device encode: stream PCM through the device in
     fixed-size block segments, carrying the exact predictor/search state
@@ -252,6 +341,13 @@ def iter_encode_segments(
         interleaved PCM (a short result means the stream is truncated).
       samples: frames per channel the container header promises.
 
+    With a multi-device ``mesh`` carrying an ``sp_axis`` of size > 1 and
+    ``search`` on, every segment's block range is sequence-parallel
+    sharded across the mesh devices through the ppermute boundary-state
+    ring (:func:`bjxa_tpu.parallel.sharded.encode_file_sharded`) — the
+    pod-scale path for huge WAV encodes: O(segment) host memory AND all
+    chips searching, still bit-identical to the sequential greedy search.
+
     Yields packed XA block bytes per segment.  On a truncated stream,
     yields the whole blocks that arrived (matching the streaming
     encoder's behavior), then raises :class:`EOFError`.
@@ -261,6 +357,12 @@ def iter_encode_segments(
 
     if segment_blocks is None:
         segment_blocks = SEGMENT_BLOCKS
+    use_mesh = (
+        search
+        and mesh is not None
+        and sp_axis in getattr(mesh, "shape", {})
+        and mesh.shape[sp_axis] > 1
+    )
     frame_bytes = 2 * channels
     state = jnp.zeros((channels, 2), jnp.int32)
     left = samples
@@ -284,6 +386,26 @@ def iter_encode_segments(
                 .reshape(-1, channels)
             )
             lanes = arr.reshape(Bp, BLOCK_SAMPLES, channels)
+            if use_mesh:
+                # sequence-parallel ring encode of this segment's block
+                # range (bit-identical; exact carried state from the
+                # last real block's reconstruction)
+                from bjxa_tpu.parallel.sharded import encode_file_sharded
+
+                blocks_sp, end_sp, _rounds = encode_file_sharded(
+                    lanes,
+                    np.asarray(state, np.int32),
+                    bits=bits,
+                    mesh=mesh,
+                    axis=sp_axis,
+                    b_total=nblocks,
+                )
+                yield blocks_sp.tobytes()
+                state = jnp.asarray(end_sp)
+                if truncated:
+                    raise EOFError("truncated PCM stream")
+                left -= want_frames
+                continue
             Kc = pick_encode_chunks(Bp, channels) if search else 1
             if search and Kc > 1:
                 # chunk-parallel exact fixed point per segment: the

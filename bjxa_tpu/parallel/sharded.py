@@ -407,6 +407,177 @@ def _file_sharded_fn(mesh: Mesh, axis: str, bits: int, local_chunks: int,
     )
 
 
+def encode_file_sharded(
+    pcm: np.ndarray,
+    state: np.ndarray,
+    *,
+    bits: int,
+    mesh: Mesh,
+    axis: str = "sp",
+    local_chunks: int = 16,
+    b_total: int | None = None,
+):
+    """Search-encode one stream with its block range sharded across devices.
+
+    The encode mirror of :func:`decode_file_sharded`: the greedy
+    80-profile search's only cross-block coupling is the 2-tap carried
+    state (identical to the decoder's), so the same ppermute ring
+    boundary fixed point applies — every device search-encodes its block
+    range from a guessed entry state (running the intra-device chunk
+    fixed point of :func:`bjxa_tpu.ops.encode.encode_search_fixpoint`
+    device-side), sends its exact end state one device forward, and the
+    ring iterates to a ``psum``-agreed fixed point.  Bit-identical to the
+    sequential greedy search; a huge WAV encode uses all chips the way
+    the same file's decode does (reference anchor for the mirrored
+    streaming-encode capability: ``src/bjxa_encode.c:108-160``).
+
+    Args:
+      pcm: int-like ``[B, 32, C]`` block-major samples (zero-padded final
+        block); B is padded up to the device x chunk grid with zero
+        blocks.
+      state: ``int32[C, 2]`` entry predictor/search state.
+      b_total: real block count if ``pcm`` already carries bucket pad
+        (outputs are trimmed to it and the end state is read after block
+        ``b_total - 1``); defaults to B.
+
+    Returns ``(blocks uint8[b_total, C, block_size], end int32[C, 2],
+    rounds int32)`` — packed XA blocks in file order, the exact carried
+    state after the last real block, and the ring-round count.
+    """
+    n = mesh.shape[axis]
+    B, ns, C = pcm.shape
+    if b_total is None:
+        b_total = B
+    K = local_chunks
+    grid = n * K
+    Bp = -(-B // grid) * grid
+    arr = np.asarray(pcm, np.int32)
+    if Bp != B:
+        arr = np.concatenate(
+            [arr, np.zeros((Bp - B, ns, C), np.int32)], axis=0
+        )
+
+    # Host-stage the per-device chunk-lane layout (int32[n, Bc, 32, K*C],
+    # lane l = k*C + c), mirroring decode_file_sharded's staging.
+    Bc = Bp // grid
+    pcm_lm = np.ascontiguousarray(
+        arr.reshape(n, K, Bc, ns, C).transpose(0, 2, 3, 1, 4)
+    ).reshape(n, Bc, ns, K * C)
+
+    fn = _file_sharded_encode_fn(mesh, axis, bits, K, C)
+    blocks, last_rec, rounds = fn(
+        jnp.asarray(pcm_lm),
+        jnp.asarray(state, jnp.int32),
+        jnp.int32(b_total - 1),
+    )
+    lr = np.asarray(last_rec)  # [32, C] recon of the last real block
+    end = np.stack([lr[-1], lr[-2]], axis=-1).astype(np.int32)
+    return (
+        np.asarray(blocks)[:b_total],
+        end,
+        int(np.asarray(rounds).reshape(-1)[0]),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _file_sharded_encode_fn(mesh: Mesh, axis: str, bits: int,
+                            local_chunks: int, channels: int):
+    """Cached jitted shard_map for the sequence-parallel ring encoder
+    (segmented huge-file encode calls this once per segment)."""
+    return jax.jit(
+        shard_map(
+            partial(
+                _sharded_encode_body,
+                bits=bits,
+                axis=axis,
+                local_chunks=local_chunks,
+                channels=channels,
+            ),
+            mesh=mesh,
+            in_specs=(P(axis, None, None, None), P(None, None), P()),
+            out_specs=(P(axis, None, None), P(None, None), P(axis)),
+            check_vma=False,  # body holds a pallas_call (no vma out_shape)
+        ),
+    )
+
+
+def _sharded_encode_body(pcm_lm, state0, q_last, *, bits, axis,
+                         local_chunks, channels):
+    """Per-device body: local chunk-fixpoint search encode + ring boundary
+    fixed point, then on-device bit-pack.  ``q_last`` is the (dynamic)
+    global index of the last real block; its reconstruction is extracted
+    with a masked ``psum`` so the host recovers the exact carried state
+    without shipping the full reconstruction back."""
+    from bjxa_tpu.ops.decode import _fixpoint_states
+    from bjxa_tpu.ops.deflate import deflate_blocks
+    from bjxa_tpu.ops.encode import encode_search
+
+    pcm_t = pcm_lm[0]  # [Bc, 32, K*C] — this device's chunk lanes
+    Bc, ns, KC = pcm_t.shape
+    K, C = local_chunks, channels
+    n = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+
+    def run(states_flat, with_output):
+        profiles, coded, recon, end = encode_search(
+            pcm_t, states_flat, bits=bits
+        )
+        return (profiles, coded, recon), end
+
+    def local_end(my_state):
+        """Exact end state of this device's block range given its entry."""
+        states, _ = _fixpoint_states(run, my_state, K, C, max_iters=K)
+        _, end = run(states.reshape(K * C, 2), False)
+        return end.reshape(K, C, 2)[-1]
+
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+
+    def propagate(my_state):
+        nxt = lax.ppermute(local_end(my_state), axis, perm=fwd)
+        return jnp.where(idx == 0, state0, nxt)
+
+    def changed_somewhere(a, b):
+        local = jnp.any(a != b).astype(jnp.int32)
+        return lax.psum(local, axis) > 0
+
+    def cond(carry):
+        st, prev, it = carry
+        return jnp.logical_and(it < n, changed_somewhere(st, prev))
+
+    def body(carry):
+        st, _, it = carry
+        return propagate(st), st, it + 1
+
+    init = jnp.where(idx == 0, state0, jnp.zeros_like(state0))
+    first = propagate(init)
+    st, _, rounds = lax.while_loop(cond, body, (first, init, jnp.int32(1)))
+
+    # Final full pass from the converged (exact) device entry state.
+    states, _ = _fixpoint_states(run, st, K, C, max_iters=K)
+    (profiles, coded, recon), _end = run(states.reshape(K * C, 2), True)
+
+    # Unscramble chunk lanes to this device's block order and pack.
+    prof_d = profiles.reshape(Bc, K, C).transpose(1, 0, 2).reshape(K * Bc, C)
+    coded_d = (
+        coded.reshape(Bc, ns, K, C).transpose(2, 0, 3, 1)
+        .reshape(K * Bc, C, ns)
+    )
+    blocks = deflate_blocks(prof_d, coded_d, bits)  # uint8[K*Bc, C, S]
+
+    # Recon of the (dynamic) last real block, owner-masked + psum.
+    my_base = idx * K * Bc
+    rel = jnp.clip(q_last - my_base, 0, K * Bc - 1)
+    k_idx = rel // Bc
+    b_idx = rel % Bc
+    sel = lax.dynamic_slice(
+        recon, (b_idx, jnp.int32(0), k_idx * C), (1, ns, C)
+    )[0].astype(jnp.int32)
+    owns = jnp.logical_and(q_last >= my_base, q_last < my_base + K * Bc)
+    last_rec = lax.psum(jnp.where(owns, sel, 0), axis)
+
+    return blocks, last_rec, rounds[None]
+
+
 def _sharded_body(blocks_lm, state0, *, bits, axis, local_chunks, channels,
                   fused):
     """Per-device body: local fixpoint decode + ring boundary fixed point."""

@@ -264,3 +264,128 @@ def test_encode_pcm_routes_through_fixpoint(monkeypatch):
     got = encode_pcm(pcm, 44100, 6, search=True)
     assert calls and all(1 <= r <= 8192 for r in calls)
     assert got == want  # bit-identical bytes either way
+
+
+# -- link-adaptive fixpoint default + env parsing ---------------------------
+
+
+def test_pick_encode_chunks_env_matrix(monkeypatch):
+    """Every BJXA_ENCODE_FIXPOINT_CHUNKS value class: forced off, auto,
+    forced K (clamped), short-stream floor, and malformed -> clean error
+    (not a bare ValueError traceback)."""
+    from bjxa_tpu.errors import BjxaInvalidState
+    from bjxa_tpu.ops.encode import pick_encode_chunks
+
+    for off in ("0", "off"):
+        monkeypatch.setenv("BJXA_ENCODE_FIXPOINT_CHUNKS", off)
+        assert pick_encode_chunks(4096, 2) == 1
+    monkeypatch.setenv("BJXA_ENCODE_FIXPOINT_CHUNKS", "auto")
+    assert pick_encode_chunks(4096, 2) == 256  # nblocks // 16
+    assert pick_encode_chunks(10**6, 2) == 4096  # 8192 // channels
+    assert pick_encode_chunks(32, 2) == 1  # short-stream floor
+    monkeypatch.setenv("BJXA_ENCODE_FIXPOINT_CHUNKS", "512")
+    assert pick_encode_chunks(4096, 2) == 256  # clamped to nblocks // 16
+    assert pick_encode_chunks(65536, 2) == 512  # honored when it fits
+    monkeypatch.setenv("BJXA_ENCODE_FIXPOINT_CHUNKS", "yes")
+    with pytest.raises(BjxaInvalidState, match="BJXA_ENCODE_FIXPOINT_CHUNKS"):
+        pick_encode_chunks(4096, 2)
+
+
+def test_pick_encode_chunks_adaptive_default(monkeypatch):
+    """Unset env defers to fixpoint_default_on(): on -> auto K, off -> 1."""
+    from bjxa_tpu.ops import encode as enc_mod
+
+    monkeypatch.delenv("BJXA_ENCODE_FIXPOINT_CHUNKS", raising=False)
+    monkeypatch.setattr(enc_mod, "fixpoint_default_on", lambda: True)
+    assert enc_mod.pick_encode_chunks(4096, 2) == 256
+    monkeypatch.setattr(enc_mod, "fixpoint_default_on", lambda: False)
+    assert enc_mod.pick_encode_chunks(4096, 2) == 1
+
+
+def test_link_rtt_env_override_and_probe(monkeypatch):
+    """BJXA_LINK_RTT_US overrides the probe; malformed values raise the
+    clean error; the real probe returns a cached positive float."""
+    from bjxa_tpu.errors import BjxaInvalidState
+    from bjxa_tpu.ops import encode as enc_mod
+
+    monkeypatch.setattr(enc_mod, "_LINK_RTT_US", None)
+    monkeypatch.setenv("BJXA_LINK_RTT_US", "1234.5")
+    assert enc_mod.link_rtt_us() == 1234.5
+    assert enc_mod.link_rtt_us() == 1234.5  # cached
+
+    monkeypatch.setattr(enc_mod, "_LINK_RTT_US", None)
+    monkeypatch.setenv("BJXA_LINK_RTT_US", "fast")
+    with pytest.raises(BjxaInvalidState, match="BJXA_LINK_RTT_US"):
+        enc_mod.link_rtt_us()
+
+    monkeypatch.setattr(enc_mod, "_LINK_RTT_US", None)
+    monkeypatch.delenv("BJXA_LINK_RTT_US", raising=False)
+    rtt = enc_mod.link_rtt_us()
+    assert rtt > 0 and enc_mod._LINK_RTT_US == rtt
+
+
+def test_fixpoint_default_on_backend_and_link(monkeypatch):
+    """The adaptive default needs BOTH a TPU-like backend and a fast
+    link (bench_fixpoint_link.py measured the CPU backend losing 0.68x
+    even at a 15 us link, and the tunnel losing at 33 ms)."""
+    import jax
+
+    from bjxa_tpu.ops import encode as enc_mod
+
+    # CPU backend: off regardless of the link
+    if jax.default_backend() == "cpu":
+        monkeypatch.setattr(enc_mod, "_LINK_RTT_US", 10.0)
+        assert enc_mod.fixpoint_default_on() is False
+
+    # TPU-like backend (faked): decided by the probed round trip
+    monkeypatch.setattr(
+        enc_mod.jax, "default_backend", lambda: "tpu", raising=False
+    )
+    monkeypatch.setattr(enc_mod, "_LINK_RTT_US", 100.0)
+    assert enc_mod.fixpoint_default_on() is True
+    monkeypatch.setattr(enc_mod, "_LINK_RTT_US", 33000.0)
+    assert enc_mod.fixpoint_default_on() is False
+
+
+def test_segment_threshold_env(monkeypatch):
+    from bjxa_tpu.errors import BjxaInvalidState
+    from bjxa_tpu.ops.decode import SEGMENT_THRESHOLD, segment_threshold
+
+    monkeypatch.delenv("BJXA_SEGMENT_THRESHOLD", raising=False)
+    assert segment_threshold() == SEGMENT_THRESHOLD
+    monkeypatch.setenv("BJXA_SEGMENT_THRESHOLD", "12345")
+    assert segment_threshold() == 12345
+    monkeypatch.setenv("BJXA_SEGMENT_THRESHOLD", "huge")
+    with pytest.raises(BjxaInvalidState, match="BJXA_SEGMENT_THRESHOLD"):
+        segment_threshold()
+
+
+def test_segmented_encode_fixpoint_byte_identity(monkeypatch):
+    """iter_encode_segments with the chunk fixpoint forced on: the
+    segmented (search and Kc > 1) branch emits bytes identical to the
+    one-shot encoder and carries the search state exactly across
+    segments."""
+    import io
+
+    from bjxa_tpu.ops.encode import iter_encode_segments
+
+    rng = np.random.default_rng(17)
+    nblocks, C = 200, 2
+    t = np.linspace(0, 60 * np.pi, nblocks * 32 * C)
+    pcm = (
+        (11000 * np.sin(t) + rng.integers(-2500, 2500, t.size))
+        .astype(np.int16).reshape(-1, C)
+    )
+    monkeypatch.delenv("BJXA_ENCODE_FIXPOINT_CHUNKS", raising=False)
+    want = encode_pcm(pcm, 44100, 6, search=True)
+    hdr_len = 32
+    body = pcm.astype("<i2").tobytes()
+
+    monkeypatch.setenv("BJXA_ENCODE_FIXPOINT_CHUNKS", "8")
+    parts = list(
+        iter_encode_segments(
+            io.BytesIO(body).read, C, nblocks * 32, bits=6, search=True,
+            segment_blocks=128,
+        )
+    )
+    assert b"".join(parts) == want[hdr_len:]
