@@ -586,3 +586,51 @@ def test_cli_decode_unknown_flag_is_filename():
     positional handling."""
     code, _, err = run_cli(["decode", "--bogus"])
     assert code == 1 and "Error" in err
+
+
+def test_encode_devices_invalid_value():
+    """Bad --devices values on encode fail with usage, like decode's."""
+    for bad in ("0", "abc"):
+        code, _, err = run_cli(["encode", "--devices", bad, "-", "-"])
+        assert code == 1
+        assert "Invalid --devices" in err
+
+
+def test_encode_devices_out_of_range():
+    """An explicit encode --devices beyond the local device count fails
+    eagerly with the range message (mirror of the decode path)."""
+    import numpy as np
+
+    from bjxa_tpu.format import dump_riff_header
+
+    pcm = np.zeros((64, 1), np.int16)
+    wav = dump_riff_header(pcm.nbytes, 44100, 1) + pcm.tobytes()
+    code, _, err = run_cli(["encode", "--devices", "99", "-", "-"], stdin=wav)
+    assert code == 1
+    assert "out of range" in err
+
+
+def test_decode_truncated_payload_with_invalid_profile():
+    """A truncated stream whose available prefix also contains an invalid
+    profile factor reports the protocol error (the truncated-decode
+    branch's validity check), after emitting the frames before it."""
+    import numpy as np
+
+    from bjxa_tpu.format.xa import XAFormat, dump_xa_header
+
+    fmt = XAFormat(
+        data_len=8 * 25,
+        samples=8 * 32,
+        samples_rate=44100,
+        bits=6,
+        channels=1,
+        initial_state=((0, 0), (0, 0)),
+    )
+    blocks = np.zeros((4, 25), np.uint8)  # only 4 of 8 blocks arrive
+    blocks[2, 0] = 0xFF  # invalid factor in the available prefix
+    data = dump_xa_header(fmt) + blocks.tobytes()
+    code, out, err = run_cli(["decode"], stdin=data)
+    assert code == 1
+    assert "bjxa_decode" in err
+    # frames of the 2 valid blocks preceding the bad one were emitted
+    assert len(out) == 44 + 2 * 32 * 2

@@ -389,3 +389,43 @@ def test_segmented_encode_fixpoint_byte_identity(monkeypatch):
         )
     )
     assert b"".join(parts) == want[hdr_len:]
+
+
+def test_segmented_encode_fixpoint_truncated(monkeypatch):
+    """A truncated PCM stream whose final partial segment routes through
+    the chunk fixpoint still yields the whole-block prefix and raises
+    EOFError (the fixpoint branch's truncation exit)."""
+    import io
+
+    from bjxa_tpu.ops.encode import encode_search, iter_encode_segments
+
+    rng = np.random.default_rng(29)
+    nblocks, C = 200, 2
+    pcm = rng.integers(-20000, 20000, (nblocks * 32, C)).astype(np.int16)
+    cut = pcm.astype("<i2").tobytes()[: (150 * 32 + 9) * 2 * C]
+
+    import jax.numpy as jnp
+
+    from bjxa_tpu.ops.deflate import deflate_blocks
+
+    monkeypatch.delenv("BJXA_ENCODE_FIXPOINT_CHUNKS", raising=False)
+    # sequential reference over the 150 whole blocks that arrive
+    # (128 in segment 1 + 22 in the truncated segment 2)
+    sp, sc, _sr, _se = encode_search(
+        jnp.asarray(pcm[: 150 * 32].reshape(150, 32, C).astype(np.int32)),
+        jnp.zeros((C, 2), jnp.int32),
+        bits=6,
+    )
+    want = np.asarray(
+        deflate_blocks(sp, sc.transpose(0, 2, 1), 6)
+    ).tobytes()
+
+    monkeypatch.setenv("BJXA_ENCODE_FIXPOINT_CHUNKS", "8")
+    got = []
+    with pytest.raises(EOFError):
+        for part in iter_encode_segments(
+            io.BytesIO(cut).read, C, nblocks * 32, bits=6, search=True,
+            segment_blocks=128,
+        ):
+            got.append(part)
+    assert b"".join(got) == want
