@@ -163,6 +163,14 @@ def bench_corpus() -> None:
         dt = time.perf_counter() - t0
         files_s = n_files / dt
         msps = n_files * nblocks * 32 * channels / dt / 1e6
+        # host<->device traffic per file: staged payload words up, PCM
+        # down — the quantity the link actually carries, for the implied
+        # sustained link rate alongside the files/s figure
+        io_mb = (
+            n_files
+            * (nblocks * size * channels + nblocks * 32 * channels * 2)
+            / 1e6
+        )
         print(
             json.dumps(
                 {
@@ -170,7 +178,15 @@ def bench_corpus() -> None:
                     "value": round(files_s, 2),
                     "unit": "files/s",
                     "msamples_per_s": round(msps, 1),
+                    "link_mb_per_s": round(io_mb / dt, 1),
                     "vs_baseline": round(files_s / 77.0, 3),
+                    "note": (
+                        "end-to-end disk-to-disk incl. host<->device "
+                        "transport; on a remote-TPU tunnel this is "
+                        "link-bound (~20-90 MB/s sustained) while the "
+                        "77 files/s baseline is the local C CLI — see "
+                        "PERFORMANCE.md 'End-to-end corpus engine'"
+                    ),
                 }
             ),
             flush=True,

@@ -9,7 +9,7 @@ incremental codec API, a compatible CLI, and corpus/multi-device scaling
 through jax.sharding.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 from bjxa_tpu.errors import (
     BjxaError,

@@ -53,7 +53,7 @@ Available actions:
     decode with the given segment size.
 
   encode [--bits <4|6|8>] [--truncate] [--devices <n>]
-         [--segment-blocks <n>] [wav file> [<xa file>]]
+         [--segment-blocks <n>] [<wav file> [<xa file>]]
     Read a WAV file and convert it into an XA file.
     The default number of bits per sample, when left
     unspecified is 6. --truncate disables the filter
