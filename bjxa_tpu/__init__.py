@@ -41,6 +41,7 @@ from bjxa_tpu.api import (
     wav_to_xa,
     xa_to_wav,
 )
+from bjxa_tpu.utils.hygiene import clear_compiled_caches
 
 __all__ = [
     "__version__",
@@ -68,4 +69,5 @@ __all__ = [
     "encode_wav_stream",
     "wav_to_xa",
     "xa_to_wav",
+    "clear_compiled_caches",
 ]

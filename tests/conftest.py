@@ -68,6 +68,25 @@ def pytest_collection_modifyitems(config, items):
         if "slow" in item.keywords:
             item.add_marker(skip)
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _compiled_cache_hygiene():
+    """Release compiled executables between test modules.
+
+    Every distinct shape the suite compiles stays mmap'd (XLA:CPU JIT
+    code pages + glibc arena retention); across the full ``--slow`` run
+    the process crossed the kernel's default 65530 ``vm.max_map_count``
+    and SIGSEGV'd inside XLA's executable deserializer (measured:
+    64415 maps / 18.4 GB RSS just before the crash — PERFORMANCE.md
+    "Slow tier").  Dropping caches at module boundaries keeps the map
+    count bounded; the persistent compilation cache makes the later
+    recompiles cheap disk reloads.
+    """
+    yield
+    from bjxa_tpu.utils.hygiene import clear_compiled_caches
+
+    clear_compiled_caches()
+
 REFERENCE_DIR = pathlib.Path(
     os.environ.get("BJXA_REFERENCE_DIR", "/root/reference")
 )

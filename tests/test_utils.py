@@ -80,3 +80,42 @@ def test_counters_freeze():
     time.sleep(0.02)
     assert c.elapsed() == frozen  # post-run work cannot inflate rates
     assert c.rates()["elapsed_s"] == frozen
+
+
+def test_clear_compiled_caches_releases_and_recompiles():
+    """The hygiene API empties the memoized shard_map wrappers and jax's
+    executable caches, and everything still works (recompiles) after."""
+    import jax
+    import numpy as np
+
+    from bjxa_tpu import clear_compiled_caches
+    from bjxa_tpu.ops.decode import decode_batch_lanes
+    from bjxa_tpu.parallel import sharded
+    from bjxa_tpu.parallel.mesh import make_mesh
+    from bjxa_tpu.ops.tables import block_size_for_bits
+
+    rng = np.random.default_rng(7)
+    bits = 6
+    size = block_size_for_bits(bits)
+    blocks = rng.integers(0, 256, size=(4, size, 2), dtype=np.uint8)
+    blocks[:, 0, :] = 0  # profile 0/shift 0: always valid
+    states = np.zeros((2, 2), np.int32)
+    before = np.asarray(decode_batch_lanes(blocks, states, bits=bits)[0])
+
+    # populate one memoized shard_map wrapper so the clear is observable
+    mesh = make_mesh(jax.devices()[:1], dp=1, sp=1)
+    sharded._corpus_lanes_fn(mesh, mesh.axis_names[0], bits)
+    assert sharded._corpus_lanes_fn.cache_info().currsize == 1
+
+    clear_compiled_caches()
+
+    for cache in (
+        sharded._corpus_lanes_fn,
+        sharded._corpus_words_fn,
+        sharded._corpus_encode_fn,
+        sharded._file_sharded_fn,
+        sharded._file_sharded_encode_fn,
+    ):
+        assert cache.cache_info().currsize == 0
+    after = np.asarray(decode_batch_lanes(blocks, states, bits=bits)[0])
+    np.testing.assert_array_equal(before, after)
