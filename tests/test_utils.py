@@ -119,3 +119,44 @@ def test_clear_compiled_caches_releases_and_recompiles():
         assert cache.cache_info().currsize == 0
     after = np.asarray(decode_batch_lanes(blocks, states, bits=bits)[0])
     np.testing.assert_array_equal(before, after)
+
+
+def test_clear_compiled_caches_bounds_map_growth():
+    """Regression guard for the round-5 SIGSEGV: repeated compile/clear
+    cycles must not grow the process's mapping count monotonically
+    (unbounded growth crossed vm.max_map_count and crashed inside XLA's
+    executable deserializer — PERFORMANCE.md "Slow tier")."""
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bjxa_tpu import clear_compiled_caches
+
+    maps_path = pathlib.Path("/proc/self/maps")
+    if not maps_path.exists():
+        import pytest
+
+        pytest.skip("needs /proc (Linux)")
+
+    def n_maps():
+        return len(maps_path.read_text().splitlines())
+
+    def compile_batch(tag):
+        # distinct shapes per cycle so every compile is fresh
+        for i in range(4):
+            n = 16 + 8 * i + tag
+            f = jax.jit(lambda x: (x * 2 + 1).sum(axis=0))
+            np.asarray(f(jnp.ones((n, n), jnp.int32)))
+
+    compile_batch(0)  # warm lazily-initialized runtime state
+    clear_compiled_caches()
+    base = n_maps()
+    for cycle in range(1, 4):
+        compile_batch(100 * cycle)
+        clear_compiled_caches()
+    # freed executables + malloc_trim must return to ~baseline; the
+    # margin absorbs allocator noise, not leaks (the bug grew by
+    # hundreds of maps per compiled shape)
+    assert n_maps() <= base + 200, (base, n_maps())
