@@ -18,6 +18,7 @@ import numpy as np
 
 _HERE = pathlib.Path(__file__).parent
 _SRC = _HERE / "bjxa_host.cc"
+_CORE = _HERE / "xa_core.h"
 _BUILD_DIR = _HERE / "_build"
 _SO = _BUILD_DIR / "libbjxa_host.so"
 
@@ -57,7 +58,8 @@ def lib() -> ctypes.CDLL | None:
         if os.environ.get("BJXA_NO_NATIVE"):
             return None
         try:
-            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            src_mtime = max(_SRC.stat().st_mtime, _CORE.stat().st_mtime)
+            if not _SO.exists() or _SO.stat().st_mtime < src_mtime:
                 if not _compile():
                     return None
             cdll = ctypes.CDLL(str(_SO))

@@ -98,3 +98,25 @@ def fixture_dir():
     if not FIXTURE_DIR.is_dir():
         pytest.skip("reference fixture corpus not available")
     return FIXTURE_DIR
+
+
+@pytest.fixture(scope="session")
+def ref_bjxa(tmp_path_factory):
+    """The reference CLI binary, compiled once per session (``cc -O2`` +
+    an empty ``config.h`` — SURVEY §4's differential-test recipe)."""
+    ref_src = REFERENCE_DIR / "src"
+    if not ref_src.is_dir():
+        pytest.skip("reference sources not available")
+    import subprocess
+
+    build = tmp_path_factory.mktemp("refbuild")
+    (build / "config.h").write_text("")
+    exe = build / "bjxa-ref"
+    sources = ["bjxa.c", "bjxa_decode.c", "bjxa_encode.c", "libbjxa.c"]
+    subprocess.run(
+        ["cc", "-O2", f"-I{build}", f"-I{ref_src}", "-o", str(exe)]
+        + [str(ref_src / s) for s in sources],
+        check=True,
+        capture_output=True,
+    )
+    return exe

@@ -555,3 +555,59 @@ class TestCorpusDepthFlag:
             assert (out1 / f"f{i}.wav").read_bytes() == (
                 out2 / f"f{i}.wav"
             ).read_bytes()
+
+
+# ---------------------------------------------------------------------------
+# C ABI library degradation (native/abi.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def abi_reset():
+    from bjxa_tpu.native import abi
+
+    so, lib, tried = abi._SO, abi._lib, abi._tried
+    yield abi
+    abi._SO, abi._lib, abi._tried = so, lib, tried
+
+
+class TestAbiFallback:
+    def test_no_native_env_disables(self, abi_reset, monkeypatch):
+        abi = abi_reset
+        monkeypatch.setenv("BJXA_NO_NATIVE", "1")
+        abi._lib, abi._tried = None, False
+        assert abi.lib() is None
+        assert not abi.available()
+
+    def test_compile_failure_degrades(self, abi_reset, tmp_path, monkeypatch):
+        abi = abi_reset
+        monkeypatch.setenv("CXX", "/bin/false")
+        abi._SO = tmp_path / "never-built.so"
+        abi._lib, abi._tried = None, False
+        assert abi.lib() is None
+
+    def test_bad_shared_object_degrades(self, abi_reset, tmp_path):
+        abi = abi_reset
+        bad = tmp_path / "bad.so"
+        bad.write_bytes(b"definitely not ELF")
+        abi._SO = bad
+        abi._lib, abi._tried = None, False
+        assert abi.lib() is None
+
+    def test_install_without_toolchain_raises(self, abi_reset, tmp_path,
+                                              monkeypatch):
+        abi = abi_reset
+        monkeypatch.setenv("BJXA_NO_NATIVE", "1")
+        abi._lib, abi._tried = None, False
+        with pytest.raises(RuntimeError, match="unavailable"):
+            abi.install(tmp_path / "prefix")
+
+    def test_install_twice_is_idempotent(self, abi_reset, tmp_path):
+        abi = abi_reset
+        abi._lib, abi._tried = None, False
+        if not abi.available():
+            pytest.skip("no native toolchain")
+        first = abi.install(tmp_path / "p")
+        second = abi.install(tmp_path / "p")
+        assert first["link"].resolve() == second["link"].resolve()
+        assert abi.so_path().exists()

@@ -8,7 +8,6 @@ truncation-mode encode on fixture and synthetic WAVs.
 """
 
 import os
-import pathlib
 import subprocess
 
 import numpy as np
@@ -17,29 +16,8 @@ import pytest
 from bjxa_tpu.api import encode_pcm, wav_to_xa, xa_to_wav
 from bjxa_tpu.format import dump_riff_header, dump_pcm
 
-REF_SRC = pathlib.Path("/root/reference/src")
-
-
-@pytest.fixture(scope="session")
-def ref_bjxa(tmp_path_factory):
-    if not REF_SRC.is_dir():
-        pytest.skip("reference sources not available")
-    build = tmp_path_factory.mktemp("refbuild")
-    (build / "config.h").write_text("")
-    exe = build / "bjxa-ref"
-    sources = [
-        REF_SRC / "bjxa.c",
-        REF_SRC / "bjxa_decode.c",
-        REF_SRC / "bjxa_encode.c",
-        REF_SRC / "libbjxa.c",
-    ]
-    subprocess.run(
-        ["cc", "-O2", f"-I{build}", f"-I{REF_SRC}", "-o", str(exe)]
-        + [str(s) for s in sources],
-        check=True,
-        capture_output=True,
-    )
-    return exe
+# the ref_bjxa fixture (compiled reference binary) lives in conftest.py,
+# shared with the C ABI parity tests.
 
 
 def ref_decode(exe, xa: bytes) -> bytes:
