@@ -14,6 +14,8 @@ Extensions over the reference:
 * ``decode --streaming`` exercises the incremental block-at-a-time codec
   instead of the whole-file device pipeline (both produce identical bytes;
   the reference proves the same property with its BJXA_SINGLE_PASS builds).
+* ``abi --install <prefix>`` installs the drop-in libbjxa-compatible C
+  library + header + pkg-config file (see ``native/abi.py``).
 """
 
 from __future__ import annotations
@@ -65,6 +67,14 @@ Available actions:
     Files whose PCM exceeds 256 MB stream through the
     device in bounded-memory segments (exact carried
     search state); --segment-blocks forces it.
+
+  abi --install <prefix>
+    Build the drop-in libbjxa-compatible C library
+    (the reference's 19 versioned symbols backed by
+    this engine) and install lib/libbjxa.so.0,
+    include/bjxa.h and lib/pkgconfig/bjxa.pc under
+    <prefix>, ready for `cc app.c $(pkg-config
+    --cflags --libs bjxa)`.
 
   corpus [--batch-files <n>] [--depth <k>] [--manifest <path>]
          [--devices <n>] <xa dir> <wav dir>
@@ -763,6 +773,25 @@ def _select_platform() -> None:
             pass
 
 
+def _cmd_abi(args: list[str], prog: str) -> int:
+    """Install the drop-in C ABI (library + header + pkg-config)."""
+    if len(args) != 2 or args[0] != "--install":
+        return _fail(prog, "abi requires --install <prefix>")
+    from bjxa_tpu.native import abi
+
+    try:
+        paths = abi.install(args[1])
+    except RuntimeError as exc:
+        sys.stderr.write(f"abi: {exc}\n")
+        return 1
+    except OSError as exc:
+        _perror("abi", exc)
+        return 1
+    for role in ("lib", "header", "pkgconfig"):
+        sys.stdout.write(f"{role} {paths[role]}\n")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv if argv is None else argv)
     prog = argv[0] if argv else "bjxa"
@@ -782,6 +811,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_encode(rest, prog)
     if action == "corpus":
         return _cmd_corpus(rest, prog)
+    if action == "abi":
+        return _cmd_abi(rest, prog)
     return _fail(prog, "Unknown action")
 
 

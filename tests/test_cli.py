@@ -634,3 +634,57 @@ def test_decode_truncated_payload_with_invalid_profile():
     assert "bjxa_decode" in err
     # frames of the 2 valid blocks preceding the bad one were emitted
     assert len(out) == 44 + 2 * 32 * 2
+
+
+# ---------------------------------------------------------------------------
+# abi action (drop-in C library install)
+# ---------------------------------------------------------------------------
+
+
+def test_abi_usage_errors():
+    code, _, err = run_cli(["abi"])
+    assert code == 1 and "abi requires --install" in err
+    code, _, err = run_cli(["abi", "--frobnicate", "x"])
+    assert code == 1 and "abi requires --install" in err
+
+
+def test_abi_install(tmp_path):
+    from bjxa_tpu.native import abi
+
+    if not abi.available():
+        pytest.skip("no native toolchain")
+    prefix = tmp_path / "prefix"
+    code, out, err = run_cli(["abi", "--install", str(prefix)])
+    assert code == 0 and err == ""
+    lines = dict(
+        line.split(" ", 1) for line in out.decode().strip().splitlines()
+    )
+    assert (prefix / "lib" / "libbjxa.so.0").exists()
+    assert lines["header"] == str(prefix / "include" / "bjxa.h")
+    assert lines["pkgconfig"] == str(
+        prefix / "lib" / "pkgconfig" / "bjxa.pc"
+    )
+
+
+def test_abi_install_no_toolchain(monkeypatch):
+    from bjxa_tpu.native import abi
+
+    monkeypatch.setenv("BJXA_NO_NATIVE", "1")
+    lib, tried = abi._lib, abi._tried
+    abi._lib, abi._tried = None, False
+    try:
+        code, _, err = run_cli(["abi", "--install", "/nonexistent/prefix"])
+    finally:
+        abi._lib, abi._tried = lib, tried
+    assert code == 1 and "unavailable" in err
+
+
+def test_abi_install_unwritable(tmp_path):
+    from bjxa_tpu.native import abi
+
+    if not abi.available():
+        pytest.skip("no native toolchain")
+    blocker = tmp_path / "file"
+    blocker.write_bytes(b"")
+    code, _, err = run_cli(["abi", "--install", str(blocker / "prefix")])
+    assert code == 1 and "abi:" in err
