@@ -787,8 +787,9 @@ def _cmd_abi(args: list[str], prog: str) -> int:
     except OSError as exc:
         _perror("abi", exc)
         return 1
-    for role in ("lib", "header", "pkgconfig"):
-        sys.stdout.write(f"{role} {paths[role]}\n")
+    for role in ("lib", "header", "pkgconfig", "bin"):
+        if role in paths:
+            sys.stdout.write(f"{role} {paths[role]}\n")
     return 0
 
 

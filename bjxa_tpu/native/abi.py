@@ -28,8 +28,10 @@ _SRC = _HERE / "bjxa_abi.cc"
 _CORE = _HERE / "xa_core.h"
 _HEADER = _HERE / "include" / "bjxa.h"
 _MAP = _HERE / "libbjxa.map"
+_CLI_SRC = _HERE / "bjxa_cli.c"
 _BUILD_DIR = _HERE / "_build"
 _SO = _BUILD_DIR / "libbjxa.so"
+_CLI = _BUILD_DIR / "bjxa"
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
@@ -118,6 +120,45 @@ def so_path() -> pathlib.Path:
     return _SO
 
 
+def cli_path() -> pathlib.Path | None:
+    """Build (if needed) and return the native ``bjxa`` CLI binary.
+
+    The binary is plain C compiled against the public header and linked
+    against libbjxa.so with ``$ORIGIN``-relative rpaths, so it runs both
+    from the build dir and from an installed ``<prefix>/bin``.  Returns
+    None when the library or a C compiler is unavailable.
+    """
+    if lib() is None:
+        return None
+    with _lock:
+        mtimes = [_CLI_SRC.stat().st_mtime, _HEADER.stat().st_mtime,
+                  _SO.stat().st_mtime]
+        if _CLI.exists() and _CLI.stat().st_mtime >= max(mtimes):
+            return _CLI
+        # the dynamic loader resolves the soname, not the -l name
+        soname = _BUILD_DIR / "libbjxa.so.0"
+        soname.write_bytes(_SO.read_bytes())
+        tmp = _CLI.with_suffix(".tmp")
+        cmd = [
+            os.environ.get("CC", "cc"),
+            "-O2",
+            f"-I{_HEADER.parent}",
+            str(_CLI_SRC),
+            f"-L{_BUILD_DIR}",
+            "-lbjxa",
+            "-Wl,-rpath,$ORIGIN",
+            "-Wl,-rpath,$ORIGIN/../lib",
+            "-o",
+            str(tmp),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+        os.replace(tmp, _CLI)
+        return _CLI
+
+
 def lib() -> ctypes.CDLL | None:
     """Load (building if needed) libbjxa.so; None if no toolchain."""
     global _lib, _tried
@@ -191,4 +232,14 @@ def install(prefix: str | os.PathLike) -> dict[str, pathlib.Path]:
     version = lib().bjxa_tpu_version().decode()
     pc = pcdir / "bjxa.pc"
     pc.write_text(_PKGCONFIG.format(prefix=prefix, version=version))
-    return {"lib": so, "link": link, "header": header, "pkgconfig": pc}
+    out = {"lib": so, "link": link, "header": header, "pkgconfig": pc}
+
+    cli = cli_path()
+    if cli is not None:
+        bindir = prefix / "bin"
+        bindir.mkdir(parents=True, exist_ok=True)
+        exe = bindir / "bjxa"
+        exe.write_bytes(cli.read_bytes())
+        exe.chmod(0o755)
+        out["bin"] = exe
+    return out

@@ -553,3 +553,139 @@ def test_symbol_versions(L):
     for line in out.splitlines():
         if " T " in line:
             assert line.split(" T ")[1].startswith("bjxa_")
+
+
+# ---------------------------------------------------------------------------
+# native C CLI binary (built on the ABI; reference CLI surface)
+
+
+@pytest.fixture(scope="module")
+def ncli():
+    exe = abi.cli_path()
+    if exe is None:  # pragma: no cover - toolchain always present in CI
+        pytest.skip("no C compiler")
+    return exe
+
+
+GOLDEN_WAV_SHA1 = {
+    "square-mono-4.xa": "064c48434d77d41c7df3030f3e4a85972dcbac80",
+    "square-mono-6.xa": "ce3991eda98db098e45e876944d8324302726a66",
+    "square-mono-8.xa": "1c7bdc2f42bd87ebaceb8184312a1857a9f6d8de",
+    "square-stereo-4.xa": "35d8815e712737824c61a02f603145594c0827b7",
+    "square-stereo-6.xa": "96eac5430bb7a73dc4801449684a4844b9b917c8",
+    "square-stereo-8.xa": "4b10d39db9abfb75bb3561d7a789ca5afb046c75",
+}
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_ncli_golden_decode(ncli, fixture_dir, tmp_path, name):
+    import hashlib
+
+    out = tmp_path / "out.wav"
+    subprocess.run(
+        [str(ncli), "decode", str(fixture_dir / name), str(out)],
+        check=True,
+        capture_output=True,
+    )
+    got = hashlib.sha1(out.read_bytes()).hexdigest()
+    assert got == GOLDEN_WAV_SHA1[name]
+
+
+def test_ncli_stdio_modes(ncli, fixture_dir):
+    xa = (fixture_dir / "square-mono-6.xa").read_bytes()
+    want = xa_to_wav(xa)
+    piped = subprocess.run(
+        [str(ncli), "decode"], input=xa, capture_output=True, check=True
+    ).stdout
+    dashed = subprocess.run(
+        [str(ncli), "decode", "-", "-"], input=xa, capture_output=True,
+        check=True,
+    ).stdout
+    assert piped == want and dashed == want
+
+
+@pytest.mark.parametrize("bits", [4, 6, 8])
+def test_ncli_encode_matches_reference_binary(ncli, ref_bjxa, bits):
+    rng = np.random.default_rng(bits)
+    pcm = rng.integers(-30000, 30000, size=(777, 2), dtype=np.int16)
+    wav = dump_riff_header(pcm.nbytes, 22050, 2) + dump_pcm(pcm)
+    ref = subprocess.run(
+        [str(ref_bjxa), "encode", "--bits", str(bits)],
+        input=wav,
+        capture_output=True,
+        check=True,
+    ).stdout
+    ours = subprocess.run(
+        [str(ncli), "encode", "--bits", str(bits)],
+        input=wav,
+        capture_output=True,
+        check=True,
+    ).stdout
+    assert ours == ref
+
+
+def test_ncli_search_mode_beats_truncation(ncli):
+    t = np.arange(32 * 64)
+    pcm = (12000 * np.sin(t / 9.0)).astype(np.int16).reshape(-1, 1)
+    wav = dump_riff_header(pcm.nbytes, 22050, 1) + dump_pcm(pcm)
+
+    def snr(xa: bytes) -> float:
+        out = np.frombuffer(xa_to_wav(xa)[RIFF_HEADER:], "<i2").astype(float)
+        src = pcm.reshape(-1).astype(float)
+        return 10 * np.log10((src**2).sum() / ((src - out) ** 2).sum())
+
+    run = lambda *extra: subprocess.run(
+        [str(ncli), "encode", "--bits", "4", *extra],
+        input=wav,
+        capture_output=True,
+        check=True,
+    ).stdout
+    assert snr(run("--search")) > snr(run()) + 5.0
+
+
+def test_ncli_error_paths(ncli, fixture_dir, tmp_path):
+    def run(args, stdin=b""):
+        return subprocess.run(
+            [str(ncli), *args], input=stdin, capture_output=True
+        )
+
+    assert run([]).returncode == 1
+    r = run(["frobnicate"])
+    assert r.returncode == 1 and b"Unknown action" in r.stderr
+    r = run(["decode", "/nonexistent.xa"])
+    assert r.returncode == 1 and b"No such file" in r.stderr
+    r = run(["decode", str(fixture_dir / "square-mono-4.xa"),
+             str(tmp_path / "no" / "dir.wav")])
+    assert r.returncode == 1
+    r = run(["decode"], stdin=b"KWD1 truncated")
+    assert r.returncode == 1 and b"bjxa_fread_header" in r.stderr
+    r = run(["decode"], stdin=b"JUNK" + b"\x00" * 40)
+    assert r.returncode == 1 and b"bjxa_fread_header" in r.stderr
+    r = run(["encode", "--bits", "5"])
+    assert r.returncode == 1 and b"Invalid --bits" in r.stderr
+    r = run(["encode", "--bits"])
+    assert r.returncode == 1 and b"Missing --bits" in r.stderr
+    r = run(["encode", "--frobnicate"])
+    assert r.returncode == 1 and b"Unknown option" in r.stderr
+    r = run(["decode", "a", "b", "c"])
+    assert r.returncode == 1 and b"Too many" in r.stderr
+    # corrupt mid-stream profile byte: decode fails with EPROTO label
+    xa = bytearray((fixture_dir / "square-mono-4.xa").read_bytes())
+    xa[32 + 5 * 17] = 0xFF
+    r = run(["decode"], stdin=bytes(xa))
+    assert r.returncode == 1 and b"bjxa_decode" in r.stderr
+    assert b"Protocol error" in r.stderr
+
+
+def test_ncli_help(ncli):
+    r = subprocess.run([str(ncli), "help"], capture_output=True)
+    assert r.returncode == 0 and b"Usage:" in r.stdout
+
+
+def test_install_includes_cli(L, tmp_path):
+    paths = abi.install(tmp_path / "p")
+    assert "bin" in paths
+    r = subprocess.run(
+        [str(paths["bin"]), "help"], capture_output=True
+    )  # $ORIGIN/../lib rpath resolves the installed library
+    assert r.returncode == 0 and b"Usage:" in r.stdout

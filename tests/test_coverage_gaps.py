@@ -611,3 +611,22 @@ class TestAbiFallback:
         second = abi.install(tmp_path / "p")
         assert first["link"].resolve() == second["link"].resolve()
         assert abi.so_path().exists()
+
+    def test_cli_path_without_lib(self, abi_reset, monkeypatch):
+        abi = abi_reset
+        monkeypatch.setenv("BJXA_NO_NATIVE", "1")
+        abi._lib, abi._tried = None, False
+        assert abi.cli_path() is None
+
+    def test_cli_path_compile_failure(self, abi_reset, tmp_path,
+                                      monkeypatch):
+        abi = abi_reset
+        if abi.lib() is None:
+            pytest.skip("no native toolchain")
+        monkeypatch.setenv("CC", "/bin/false")
+        cli = abi._CLI
+        abi._CLI = tmp_path / "never-built"
+        try:
+            assert abi.cli_path() is None
+        finally:
+            abi._CLI = cli
