@@ -358,3 +358,45 @@ def test_segmented_decode_differential_sweep(ref_bjxa):
         ref_code, ref_out, _ref_err = _ref_decode_full(ref_bjxa, data)
         assert (code == 0) == (ref_code == 0), (trial, code, ref_code)
         assert out == ref_out, (trial, bits, channels, nblocks, seg)
+
+
+def test_native_cli_differential_sweep(ref_bjxa):
+    """The native C CLI binary (built on the drop-in ABI) vs the compiled
+    reference CLI: exit status, every stdout byte (including the
+    valid-prefix PCM emitted before a failure) and the stderr failure
+    label must match on randomized happy/corrupt/truncated streams."""
+    from bjxa_tpu.native import abi
+
+    ncli = abi.cli_path()
+    if ncli is None:
+        pytest.skip("no C compiler")
+
+    rng = np.random.default_rng(4242)
+    for trial in range(120):
+        bits = int(rng.choice([4, 6, 8]))
+        channels = int(rng.choice([1, 2]))
+        nblocks = int(rng.choice([1, 3, 8, 21, 64]))
+        header, data_len, block_size = _mk_header(rng, bits, channels, nblocks)
+        payload = _mk_valid_payload(
+            rng, data_len, block_size, nblocks * channels
+        )
+        kind = rng.choice(["ok", "proto", "eof"], p=[0.5, 0.25, 0.25])
+        if kind == "proto" or (kind == "eof" and rng.random() < 0.3):
+            b = int(rng.integers(0, nblocks))
+            c = int(rng.integers(0, channels))
+            payload[(b * channels + c) * block_size] = int(
+                rng.integers(5, 16) << 4 | rng.integers(0, 16)
+            )
+        xa = header + payload.tobytes()
+        if kind == "eof":
+            xa = xa[: 32 + int(rng.integers(0, data_len))]
+        ref = subprocess.run(
+            [str(ref_bjxa), "decode"], input=xa, capture_output=True
+        )
+        got = subprocess.run(
+            [str(ncli), "decode"], input=xa, capture_output=True
+        )
+        ctx = (trial, kind, bits, channels, nblocks)
+        assert (got.returncode != 0) == (ref.returncode != 0), ctx
+        assert got.stdout == ref.stdout, ctx
+        assert got.stderr == ref.stderr, (ctx, got.stderr, ref.stderr)
