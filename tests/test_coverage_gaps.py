@@ -630,3 +630,26 @@ class TestAbiFallback:
             assert abi.cli_path() is None
         finally:
             abi._CLI = cli
+
+    def test_cold_build_compiles_fresh(self, abi_reset, tmp_path):
+        """Force a from-scratch compile of both the library and the CLI
+        binary into a temp build dir (the on-disk .so is normally cached,
+        leaving the successful-compile tails unexecuted)."""
+        abi = abi_reset
+        if abi.lib() is None:
+            pytest.skip("no native toolchain")
+        build = tmp_path / "fresh"
+        build.mkdir()
+        so, cli, bdir = abi._SO, abi._CLI, abi._BUILD_DIR
+        abi._SO = build / "libbjxa.so"
+        abi._CLI = build / "bjxa"
+        abi._BUILD_DIR = build
+        abi._lib, abi._tried = None, False
+        try:
+            assert abi.lib() is not None
+            assert abi._SO.exists()
+            exe = abi.cli_path()
+            assert exe is not None and exe.exists()
+        finally:
+            abi._SO, abi._CLI, abi._BUILD_DIR = so, cli, bdir
+            abi._lib, abi._tried = None, False
